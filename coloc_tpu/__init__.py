@@ -1,0 +1,31 @@
+"""coloc_tpu — TPU-native collaborative visual localization framework.
+
+A greenfield JAX/XLA/Pallas re-design of the capabilities of saihv/coloc
+(CoLoC: collaborative localization for micro aerial vehicles). The reference
+is a host-driven C++/CUDA pipeline; this framework keeps all per-frame math
+resident on device with fixed shapes and validity masks, batches every
+irregular loop (RANSAC hypotheses, keypoints, landmarks, drones), and shards
+the drone axis over a `jax.sharding.Mesh`.
+
+Module map (reference parity noted per module docstring):
+  config      — declarative session config (reference: colocParams.hpp, colocData.hpp options)
+  types       — fixed-capacity pytree data model (reference: colocData.hpp)
+  geometry/   — SO3/SE3, cameras, triangulation, minimal solvers
+  ransac      — batched AC-RANSAC harness (reference: RobustMatcher.hpp)
+  ops/        — Pallas/XLA kernels: Hamming 2-NN, pyramid, FAST, descriptors
+  frontend    — detect+describe pipeline (reference: GPUDetector.hpp / KORAL)
+  matching    — descriptor matching APIs (reference: FeatureMatcher/CPUMatcher/GPUMatcher)
+  sfm/        — tracks, triangulation, bundle adjustment, localization
+  fusion/     — Kalman filter bank, inverse covariance intersection
+  parallel/   — drone-axis mesh sharding and collectives
+  io/         — disk ingest, calibration parsing, CSV/PLY logging
+  session     — orchestrator (reference: coloc.hpp ColoC)
+"""
+
+__version__ = "0.1.0"
+
+from coloc_tpu.config import (  # noqa: F401
+    ColocConfig,
+    DetectorOptions,
+    MatcherOptions,
+)
