@@ -1,0 +1,160 @@
+"""Hamming 2-NN matcher tests: exact popcount oracle vs matmul path vs Pallas
+kernel (interpreter mode on CPU), plus margin/ratio accept semantics
+(SURVEY.md §4: 'Hamming 2-NN margin semantics' unit tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coloc_tpu.config import MatcherOptions
+from coloc_tpu.matching import match_pair, match_with_map
+from coloc_tpu.ops import hamming
+from coloc_tpu.types import Features, MapDB, empty_features
+
+
+def random_desc(rng, n):
+    return jnp.asarray(rng.integers(0, 2**32, size=(n, 16), dtype=np.uint64).astype(np.uint32))
+
+
+def brute_force_2nn(qd, td, t_valid):
+    """Numpy oracle: exact popcount distances."""
+    q = np.asarray(qd)
+    t = np.asarray(td)
+    Q, T = q.shape[0], t.shape[0]
+    dist = np.zeros((Q, T), np.int32)
+    for j in range(T):
+        x = q ^ t[j][None, :]
+        dist[:, j] = np.unpackbits(x.view(np.uint8), axis=1).sum(1)
+    dist = dist + np.where(np.asarray(t_valid), 0, 2048)[None, :]
+    order = np.argsort(dist, axis=1, kind="stable")
+    best_idx = order[:, 0]
+    best = dist[np.arange(Q), best_idx]
+    second = dist[np.arange(Q), order[:, 1]]
+    return best_idx, best, second
+
+
+class TestUnpack:
+    def test_pack_unpack_roundtrip(self, rng):
+        d = random_desc(rng, 8)
+        s = hamming.unpack_bipolar(d, dtype=jnp.float32)
+        bits = (np.asarray(s) > 0).astype(np.uint32)
+        d2 = hamming.pack_bits(jnp.asarray(bits))
+        np.testing.assert_array_equal(np.asarray(d2), np.asarray(d))
+
+    def test_bipolar_identity(self, rng):
+        """HD = (512 - dot)/2 must equal exact popcount."""
+        a, b = random_desc(rng, 4), random_desc(rng, 4)
+        sa = hamming.unpack_bipolar(a, jnp.float32)
+        sb = hamming.unpack_bipolar(b, jnp.float32)
+        dot = np.asarray(sa @ sb.T)
+        hd_matmul = (512 - dot) / 2
+        hd_pop = np.zeros((4, 4))
+        for i in range(4):
+            for j in range(4):
+                hd_pop[i, j] = int(hamming.hamming_distance(a[i], b[j]))
+        np.testing.assert_array_equal(hd_matmul, hd_pop)
+
+
+class TestXLAPath:
+    def test_vs_oracle(self, rng):
+        qd, td = random_desc(rng, 33), random_desc(rng, 47)
+        qv = jnp.ones(33, bool)
+        tv = jnp.asarray(rng.random(47) > 0.2)
+        idx, best, second = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        oidx, obest, osecond = brute_force_2nn(qd, td, tv)
+        np.testing.assert_array_equal(np.asarray(best), obest)
+        np.testing.assert_array_equal(np.asarray(second), osecond)
+        # best index must achieve the best distance (ties allowed)
+        d = np.array([
+            int(hamming.hamming_distance(qd[i], td[int(np.asarray(idx)[i])]))
+            for i in range(33)
+        ])
+        np.testing.assert_array_equal(d, obest)
+
+
+class TestPallasKernel:
+    def test_vs_xla_path(self, rng):
+        """Pallas kernel (interpret mode) must agree with the XLA path,
+        including padding/masking behavior at non-tile-multiple sizes."""
+        qd, td = random_desc(rng, 100), random_desc(rng, 300)
+        qv = jnp.asarray(rng.random(100) > 0.1)
+        tv = jnp.asarray(rng.random(300) > 0.1)
+        xi, xb, xs = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        pi, pb, ps = hamming.hamming_2nn_pallas(qd, td, qv, tv, interpret=True)
+        np.testing.assert_array_equal(np.asarray(xb), np.asarray(pb))
+        np.testing.assert_array_equal(np.asarray(xs), np.asarray(ps))
+        # indices may differ only where distances tie
+        diff = np.asarray(xi) != np.asarray(pi)
+        if diff.any():
+            for i in np.nonzero(diff)[0]:
+                d1 = int(hamming.hamming_distance(qd[i], td[int(np.asarray(xi)[i])]))
+                d2 = int(hamming.hamming_distance(qd[i], td[int(np.asarray(pi)[i])]))
+                assert d1 == d2
+
+    def test_exact_match_found(self, rng):
+        """Planted identical descriptors must match with distance 0."""
+        td = random_desc(rng, 600)
+        sel = rng.integers(0, 600, size=40)
+        qd = td[jnp.asarray(sel)]
+        qv = jnp.ones(40, bool)
+        tv = jnp.ones(600, bool)
+        pi, pb, ps = hamming.hamming_2nn_pallas(qd, td, qv, tv, interpret=True)
+        np.testing.assert_array_equal(np.asarray(pb), np.zeros(40))
+        np.testing.assert_array_equal(np.asarray(pi), sel)
+
+
+class TestAcceptSemantics:
+    def _features(self, desc, n_valid=None):
+        n = desc.shape[0]
+        f = empty_features(n)
+        valid = jnp.arange(n) < (n_valid if n_valid is not None else n)
+        return f._replace(desc=desc, valid=valid)
+
+    def test_margin_mode(self, rng):
+        """second - best > threshold accepts; close seconds reject."""
+        td = random_desc(rng, 256)
+        qd = td[:32]  # exact matches: best=0; second is random ~256
+        opts = MatcherOptions(mode="margin", pair_margin_threshold=40)
+        m = match_pair(self._features(qd), self._features(td), opts)
+        assert np.asarray(m.mask).all()
+        np.testing.assert_array_equal(np.asarray(m.idx), np.arange(32))
+
+    def test_margin_rejects_ambiguous(self, rng):
+        """Duplicate train descriptors -> second == best -> margin 0 -> reject."""
+        base = random_desc(rng, 64)
+        td = jnp.concatenate([base, base], axis=0)  # every descriptor twice
+        qd = base[:16]
+        opts = MatcherOptions(mode="margin", pair_margin_threshold=40)
+        m = match_pair(self._features(qd), self._features(td), opts)
+        assert not np.asarray(m.mask).any()
+
+    def test_ratio_mode(self, rng):
+        td = random_desc(rng, 256)
+        qd = td[:16]
+        opts = MatcherOptions(mode="ratio", dist_ratio=0.8)
+        m = match_pair(self._features(qd), self._features(td), opts)
+        assert np.asarray(m.mask).all()
+
+    def test_invalid_query_rejected(self, rng):
+        td = random_desc(rng, 128)
+        qd = td[:16]
+        opts = MatcherOptions()
+        m = match_pair(self._features(qd, n_valid=8), self._features(td), opts)
+        assert np.asarray(m.mask)[:8].all()
+        assert not np.asarray(m.mask)[8:].any()
+
+    def test_all_invalid_bank_rejects(self, rng):
+        """Regression: the invalid-train penalty shifts best and second
+        equally, so margin alone would still accept against an empty bank."""
+        desc = random_desc(rng, 128)
+        mapdb = MapDB(X=jnp.zeros((128, 3)), desc=desc, valid=jnp.zeros(128, bool))
+        m = match_with_map(self._features(desc[:16]), mapdb, MatcherOptions())
+        assert not np.asarray(m.mask).any()
+
+    def test_map_match(self, rng):
+        desc = random_desc(rng, 512)
+        mapdb = MapDB(X=jnp.zeros((512, 3)), desc=desc, valid=jnp.ones(512, bool))
+        qd = desc[100:140]
+        opts = MatcherOptions(mode="margin", margin_threshold=60)
+        m = match_with_map(self._features(qd), mapdb, opts)
+        np.testing.assert_array_equal(np.asarray(m.idx), np.arange(100, 140))
