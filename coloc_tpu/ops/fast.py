@@ -1,0 +1,139 @@
+"""FAST-9 corner detection, fully vectorized for the VPU.
+
+Reference parity: KFAST.h — multi-scale FAST-9 with (a) 2-of-4 cardinal
+pretest, (b) >=9-consecutive-of-16 ring test, (c) per-corner score = max over
+all 16 9-pixel arcs of the minimum absolute center deviation within the arc
+(KFAST.h:272-376), (d) 3x3 non-max suppression (KFAST.h:464-496). The
+reference parallelizes by row-sharding across CPU threads with AVX2; here the
+whole image is one vector computation — the ring test is 16 shifted
+comparisons and the consecutive-arc tests use a doubling (AND/MIN) cascade, so
+the entire detector is ~150 elementwise ops that XLA fuses into a few passes.
+
+The host-side std::vector keypoint accumulation becomes jax.lax.top_k over the
+masked score map (fixed capacity, SURVEY.md §7.1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3, clockwise from 12 o'clock: (dy, dx)
+RING_OFFSETS = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+    (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+_ARC = 9  # FAST-9: at least 9 consecutive salient ring pixels
+
+
+def _ring_stack(image: jnp.ndarray) -> jnp.ndarray:
+    """(16, H, W): ring pixel k at each center (edges replicate-padded)."""
+    padded = jnp.pad(image, 3, mode="edge")
+    h, w = image.shape
+    return jnp.stack(
+        [padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dy, dx in RING_OFFSETS]
+    )
+
+
+def _consecutive9(flags: jnp.ndarray) -> jnp.ndarray:
+    """flags (16, H, W) bool -> (16, H, W) bool: arc of 9 starting at k all set.
+
+    Doubling cascade: run2[k] = f[k] & f[k+1]; run4 = run2[k] & run2[k+2];
+    run8 = run4[k] & run4[k+4]; run9 = run8[k] & f[k+8] (indices mod 16).
+    """
+    def rot(a, s):
+        return jnp.roll(a, -s, axis=0)
+
+    run2 = flags & rot(flags, 1)
+    run4 = run2 & rot(run2, 2)
+    run8 = run4 & rot(run4, 4)
+    return run8 & rot(flags, 8)
+
+
+def _arc_min9(vals: jnp.ndarray) -> jnp.ndarray:
+    """vals (16, H, W) -> (16, H, W): min over the 9-arc starting at k."""
+    def rot(a, s):
+        return jnp.roll(a, -s, axis=0)
+
+    m2 = jnp.minimum(vals, rot(vals, 1))
+    m4 = jnp.minimum(m2, rot(m2, 2))
+    m8 = jnp.minimum(m4, rot(m4, 4))
+    return jnp.minimum(m8, rot(vals, 8))
+
+
+def fast_score_map(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Per-pixel FAST-9 corner score (0 where not a corner).
+
+    Score = max over accepted arcs of (min |deviation| in arc) - the KFAST
+    SIMD score semantics (max deviation sustaining the corner test).
+    """
+    ring = _ring_stack(image)
+    dev = ring - image[None, :, :]
+
+    bright = dev > threshold
+    dark = (-dev) > threshold
+
+    bright9 = _consecutive9(bright)
+    dark9 = _consecutive9(dark)
+
+    neg_inf = jnp.float32(-1.0)
+    bright_arc = jnp.where(bright9, _arc_min9(dev), neg_inf)
+    dark_arc = jnp.where(dark9, _arc_min9(-dev), neg_inf)
+
+    score = jnp.maximum(jnp.max(bright_arc, axis=0), jnp.max(dark_arc, axis=0))
+    score = jnp.where(score > 0, score, 0.0)
+    # kill the replicate-padded border (3 ring + safety)
+    h, w = image.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return jnp.where(inb, score, 0.0)
+
+
+def nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression; ties broken toward the top-left pixel."""
+    h, w = score.shape
+    p = jnp.pad(score, 1, mode="constant")
+    stack = jnp.stack(
+        [p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    )
+    neighborhood_max = jnp.max(stack, axis=0)
+    is_max = score >= neighborhood_max
+    # strict-on-earlier-neighbors tie break: a pixel survives only if no
+    # earlier (raster-order) neighbor has an equal score
+    earlier = jnp.stack(
+        [p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+         for (dy, dx) in ((-1, -1), (-1, 0), (-1, 1), (0, -1))]
+    )
+    tie_earlier = jnp.max(earlier, axis=0) >= score
+    return jnp.where(is_max & ~tie_earlier, score, 0.0)
+
+
+def topk_keypoints(
+    score: jnp.ndarray, k: int, border: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-k peaks of a score map -> (x (k,), y (k,), score (k,), valid (k,))."""
+    h, w = score.shape
+    if border > 0:
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        inb = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+        score = jnp.where(inb, score, 0.0)
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, k)
+    y = (idx // w).astype(jnp.float32)
+    x = (idx % w).astype(jnp.float32)
+    valid = vals > 0
+    return x, y, vals, valid
+
+
+def detect(
+    image: jnp.ndarray, threshold: float, k: int, border: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full single-level FAST: score -> NMS -> top-k."""
+    return topk_keypoints(nms3(fast_score_map(image, threshold)), k, border)

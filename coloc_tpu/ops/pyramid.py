@@ -1,0 +1,126 @@
+"""Scale pyramid construction + box smoothing.
+
+Reference parity: CUDALERP (src/CUDALERP.cu:153-183) — bilinear downscale of
+the base image to 8 levels at 1.2x steps, one CUDA stream per level
+(GPUDetector.hpp:250-255). On TPU the per-level resizes are just XLA ops in
+one fused graph; the CPU/GPU overlap the reference needed (KFAST on host while
+GPU resizes) disappears because detection also runs on device.
+
+Level sizes are static functions of the config so everything stays jittable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def level_shapes(
+    height: int, width: int, num_levels: int, scale_factor: float
+) -> List[Tuple[int, int]]:
+    """Static (H_l, W_l) per level; level 0 is full resolution."""
+    shapes = []
+    for l in range(num_levels):
+        f = scale_factor ** l
+        shapes.append((max(int(round(height / f)), 8), max(int(round(width / f)), 8)))
+    return shapes
+
+
+def build_pyramid(
+    image: jnp.ndarray, num_levels: int, scale_factor: float
+) -> List[jnp.ndarray]:
+    """image (H, W) float32 -> list of (H_l, W_l) float32, bilinear resampled."""
+    h, w = image.shape
+    shapes = level_shapes(h, w, num_levels, scale_factor)
+    levels = [image]
+    for l in range(1, num_levels):
+        levels.append(
+            jax.image.resize(image, shapes[l], method="linear", antialias=False)
+        )
+    return levels
+
+
+def box_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable box blur (descriptor pre-smoothing; replaces the implicit
+    smoothing that patch-SSD comparisons give CLATCH). Edge-replicated."""
+    k = 2 * radius + 1
+    pad = ((radius, radius),)
+    x = jnp.pad(image, pad + ((0, 0),), mode="edge")
+    x = _running_mean(x, k, axis=0)
+    x = jnp.pad(x, ((0, 0),) + pad, mode="edge")
+    x = _running_mean(x, k, axis=1)
+    return x
+
+
+def _running_mean(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """Mean over k consecutive entries along axis (output length n-k+1)."""
+    n = x.shape[axis]
+    csum = jnp.cumsum(x, axis=axis)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(csum, 0, 1, axis=axis))
+    csum = jnp.concatenate([zero, csum], axis=axis)
+    hi = jax.lax.slice_in_dim(csum, k, n + 1, axis=axis)
+    lo = jax.lax.slice_in_dim(csum, 0, n - k + 1, axis=axis)
+    return (hi - lo) / k
+
+
+def flatten_pyramid(levels: Sequence[jnp.ndarray]):
+    """Concatenate level rasters into one 1-D buffer + static index tables.
+
+    Enables a single gather for samples spread across levels: an (x, y, level)
+    sample maps to flat index base[level] + y * width[level] + x. Returns
+    (flat (N,) array, bases (L,), heights (L,), widths (L,)) — tables are
+    static numpy-backed jnp constants baked into the jit trace.
+    """
+    flat = jnp.concatenate([lvl.reshape(-1) for lvl in levels])
+    bases, heights, widths = [], [], []
+    off = 0
+    for lvl in levels:
+        h, w = lvl.shape
+        bases.append(off)
+        heights.append(h)
+        widths.append(w)
+        off += h * w
+    return (
+        flat,
+        jnp.asarray(bases, jnp.int32),
+        jnp.asarray(heights, jnp.int32),
+        jnp.asarray(widths, jnp.int32),
+    )
+
+
+def gather_bilinear_flat(
+    flat: jnp.ndarray,
+    bases: jnp.ndarray,
+    heights: jnp.ndarray,
+    widths: jnp.ndarray,
+    level: jnp.ndarray,  # (...,) int32 per-sample level
+    x: jnp.ndarray,      # (...,) float32 level-local x
+    y: jnp.ndarray,      # (...,) float32 level-local y
+) -> jnp.ndarray:
+    """Bilinear sample from the flattened pyramid; coords clamped in-bounds."""
+    w = widths[level].astype(jnp.float32)
+    h = heights[level].astype(jnp.float32)
+    base = bases[level]
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    wi = widths[level]
+    i00 = base + y0i * wi + x0i
+    v00 = flat[i00]
+    v01 = flat[i00 + 1]
+    v10 = flat[i00 + wi]
+    v11 = flat[i00 + wi + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
