@@ -1,3 +1,11 @@
 """Core geometry library — pure jnp, fully vmappable (SURVEY.md §7.2.1)."""
 
-from coloc_tpu.geometry import so3, se3, camera, triangulation  # noqa: F401
+from coloc_tpu.geometry import (  # noqa: F401
+    camera,
+    essential,
+    homography,
+    p3p,
+    se3,
+    so3,
+    triangulation,
+)

@@ -1,0 +1,155 @@
+"""Essential/fundamental matrix estimation + decomposition, batched.
+
+Reference parity: RobustMatcher.hpp filterEssential (:153-186) — AC-RANSAC
+with OpenMVG's FivePointSolver and SymmetricEpipolarDistanceError, then
+RelativePoseFromEssential (E -> 4 motion candidates -> cheirality vote).
+
+TPU-first deviation (documented): the minimal solver here is the normalized
+8-point algorithm (one 9x9 symmetric eigensolve per hypothesis — batched,
+branch-free, MXU/VPU-friendly) instead of Nistér's 5-point (10th-degree
+polynomial root-finding, awkward on TPU). RANSAC semantics, scoring, and the
+decomposition/cheirality logic match the reference; only the minimal sample
+size differs (8 vs 5). A batched 5-point solver via Aberth iteration is
+planned for exact parity.
+
+All inputs are normalized (unit-focal, undistorted) image coords.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coloc_tpu.geometry.triangulation import triangulate_two_view
+
+
+def _epipolar_design_rows(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Rows of the epipolar constraint x2^T E x1 = 0. x1,x2: (N, 2) -> (N, 9)."""
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    one = jnp.ones_like(u1)
+    return jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1
+    )
+
+
+def eight_point(x1: jnp.ndarray, x2: jnp.ndarray,
+                weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Normalized 8-point: (N>=8, 2) correspondences -> E (3,3).
+
+    Solves min ||A e|| via the smallest eigenvector of A^T A (9x9 symmetric
+    eigh — cheap, batched), then projects to the essential manifold
+    (singular values (s, s, 0)).
+    """
+    A = _epipolar_design_rows(x1, x2)  # (N, 9)
+    if weights is not None:
+        A = A * weights[:, None]
+    AtA = A.T @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    e = vecs[:, 0]
+    E = e.reshape(3, 3)
+    # project to essential manifold
+    U, s, Vt = jnp.linalg.svd(E)
+    sig = (s[0] + s[1]) / 2.0
+    E = U @ jnp.diag(jnp.array([sig, sig, 0.0])) @ Vt
+    return E
+
+
+eight_point_batch = jax.vmap(eight_point)
+
+
+def fundamental_8pt(x1: jnp.ndarray, x2: jnp.ndarray,
+                    weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """8-point fundamental with Hartley normalization and rank-2 projection.
+
+    Replaces the reference's 7-point solver (RobustMatcher.hpp:134-150) with
+    the batched-friendly 8-point variant (documented deviation). `weights`
+    enables the post-RANSAC least-squares re-fit over the inlier set.
+    """
+    w = jnp.ones(x1.shape[0]) if weights is None else weights
+    wsum = jnp.sum(w) + 1e-9
+
+    def normalize(x):
+        mean = jnp.sum(x * w[:, None], axis=0) / wsum
+        scale = jnp.sqrt(2.0) / (
+            jnp.sum(jnp.linalg.norm(x - mean, axis=1) * w) / wsum + 1e-9
+        )
+        T = jnp.array(
+            [[scale, 0.0, -scale * mean[0]],
+             [0.0, scale, -scale * mean[1]],
+             [0.0, 0.0, 1.0]]
+        )
+        return (x - mean) * scale, T
+
+    x1n, T1 = normalize(x1)
+    x2n, T2 = normalize(x2)
+    A = _epipolar_design_rows(x1n, x2n) * w[:, None]
+    _, vecs = jnp.linalg.eigh(A.T @ A)
+    F = vecs[:, 0].reshape(3, 3)
+    U, s, Vt = jnp.linalg.svd(F)
+    F = U @ jnp.diag(jnp.array([s[0], s[1], 0.0])) @ Vt
+    F = T2.T @ F @ T1
+    return F / (F[2, 2] + 1e-12)
+
+
+fundamental_8pt_batch = jax.vmap(fundamental_8pt)
+
+
+def symmetric_epipolar_distance_sq(
+    E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray
+) -> jnp.ndarray:
+    """Squared symmetric epipolar distance (normalized coords), (M,).
+
+    Matches OpenMVG's SymmetricEpipolarDistanceError used by the 'E' and 'F'
+    kernels (RobustMatcher.hpp:161-171).
+    """
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)  # (M, 3)
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+    Ex1 = h1 @ E.T      # (M, 3): E @ x1 per row
+    Etx2 = h2 @ E       # (M, 3): E^T @ x2 per row
+    num = jnp.sum(h2 * Ex1, axis=-1) ** 2
+    denom = (
+        Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    )
+    return num / (denom + 1e-12) * 4.0
+
+
+def decompose_essential(
+    E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """E -> (R, t) with max cheirality votes over the masked correspondences.
+
+    RelativePoseFromEssential parity: 4 candidates (R1|R2 x ±t), triangulate
+    each correspondence under each candidate, count points with positive depth
+    in both views, take the argmax (RobustMatcher.hpp:180).
+    Convention: x2-frame pose of camera 2 relative to camera 1 — x_cam2 =
+    R (x_cam1 - C), i.e. (R, t) with t = -R C.
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    candidates = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
+
+    def votes(R, t):
+        C = -R.T @ t
+        X = jax.vmap(
+            lambda a, b: triangulate_two_view(
+                jnp.eye(3), jnp.zeros(3), a, R, C, b
+            )
+        )(x1, x2)
+        d1 = X[:, 2]
+        d2 = ((X - C) @ R.T)[:, 2]
+        return jnp.sum((d1 > 0) & (d2 > 0) & mask)
+
+    vote_counts = jnp.stack([votes(R, t) for R, t in candidates])
+    k = jnp.argmax(vote_counts)
+    Rs = jnp.stack([c[0] for c in candidates])
+    ts = jnp.stack([c[1] for c in candidates])
+    return Rs[k], ts[k]

@@ -1,0 +1,213 @@
+"""Robust two-view and absolute pose estimation (RobustMatcher parity layer).
+
+Reference parity: RobustMatcher.hpp —
+  computeRelativePose (:372-424): undistort matched coords, dispatch on
+    params.model 'E'/'F'/'H', AC-RANSAC, accept iff inliers >= 2.5 x minimal
+    sample (:147,175,210), produce RelativePose_Info.
+  filterMatches/filterMatchesPair (:426-483): store inlier matches + relative
+    pose per pair.
+Plus the P3P absolute-pose kernel shared with Localizer.hpp:77-108.
+
+Everything is jit-compatible: failure is a `success` flag, not an exception
+(masked failure semantics, SURVEY.md §5 failure handling).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coloc_tpu.config import RansacOptions
+from coloc_tpu.geometry import camera as cam_ops
+from coloc_tpu.geometry import essential as ess
+from coloc_tpu.geometry import homography as homog
+from coloc_tpu.geometry import p3p as p3p_ops
+from coloc_tpu.ransac import RansacResult, ransac
+from coloc_tpu.types import Pose, TwoViewGeometry
+
+
+def _mean_focal(cam: cam_ops.Camera) -> jnp.ndarray:
+    return (cam.fx + cam.fy) * 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def relative_pose_essential(
+    key: jax.Array,
+    uv1: jnp.ndarray,      # (M, 2) distorted pixels, camera 1
+    uv2: jnp.ndarray,      # (M, 2) distorted pixels, camera 2
+    mask: jnp.ndarray,     # (M,) bool valid correspondences
+    cam1: cam_ops.Camera,
+    cam2: cam_ops.Camera,
+    opts: RansacOptions,
+) -> TwoViewGeometry:
+    """Model 'E' path: batched 8-point essential RANSAC + decomposition."""
+    x1 = cam_ops.undistort(cam1, cam_ops.normalize(cam1, uv1))
+    x2 = cam_ops.undistort(cam2, cam_ops.normalize(cam2, uv2))
+
+    f = _mean_focal(cam1)
+    thr_sq = (opts.essential_threshold / f) ** 2
+
+    def solver(s1, s2):
+        E = ess.eight_point(s1, s2)
+        return E[None], jnp.ones((1,), bool)
+
+    def scorer(E, a1, a2):
+        return ess.symmetric_epipolar_distance_sq(E, a1, a2)
+
+    res = ransac(
+        key, (x1, x2), mask, solver, scorer,
+        sample_size=8, num_hypotheses=opts.num_hypotheses,
+        threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
+    )
+
+    # least-squares re-fit on the full inlier set (ACRANSAC's local
+    # optimization step equivalent) — a minimal-sample model alone leaves
+    # several degrees of translation-direction error at realistic pixel noise
+    E_refit = ess.eight_point(x1, x2, weights=res.inliers.astype(jnp.float32))
+    refit_inl = (scorer(E_refit, x1, x2) < thr_sq) & mask
+    better = jnp.sum(refit_inl) >= res.n_inliers
+    E_best = jnp.where(better, E_refit, res.model)
+    inliers = jnp.where(better, refit_inl, res.inliers)
+    n_inliers = jnp.where(better, jnp.sum(refit_inl.astype(jnp.int32)), res.n_inliers)
+    res = res._replace(model=E_best, inliers=inliers, n_inliers=n_inliers)
+
+    R, t = ess.decompose_essential(res.model, x1, x2, res.inliers)
+    return TwoViewGeometry(
+        R=R, t=t, inliers=res.inliers,
+        n_inliers=res.n_inliers, success=res.success,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def relative_pose_fundamental(
+    key: jax.Array,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    cam1: cam_ops.Camera,
+    cam2: cam_ops.Camera,
+    opts: RansacOptions,
+) -> TwoViewGeometry:
+    """Model 'F' path: fundamental RANSAC on pixel coords, then E = K2^T F K1
+    and the same decomposition (RobustMatcher.hpp:134-150 semantics)."""
+    u1 = cam_ops.undistort_pixel(cam1, uv1)
+    u2 = cam_ops.undistort_pixel(cam2, uv2)
+
+    def solver(s1, s2):
+        F = ess.fundamental_8pt(s1, s2)
+        return F[None], jnp.ones((1,), bool)
+
+    def scorer(F, a1, a2):
+        return ess.symmetric_epipolar_distance_sq(F, a1, a2)
+
+    res = ransac(
+        key, (u1, u2), mask, solver, scorer,
+        sample_size=8, num_hypotheses=opts.num_hypotheses,
+        threshold_sq=opts.essential_threshold ** 2,
+        inlier_multiple=opts.inlier_multiple,
+    )
+    # least-squares re-fit over the inlier set (see essential path)
+    F_refit = ess.fundamental_8pt(u1, u2, weights=res.inliers.astype(jnp.float32))
+    refit_inl = (scorer(F_refit, u1, u2) < opts.essential_threshold ** 2) & mask
+    better = jnp.sum(refit_inl) >= res.n_inliers
+    res = res._replace(
+        model=jnp.where(better, F_refit, res.model),
+        inliers=jnp.where(better, refit_inl, res.inliers),
+        n_inliers=jnp.where(
+            better, jnp.sum(refit_inl.astype(jnp.int32)), res.n_inliers
+        ),
+    )
+    E = cam2.K.T @ res.model @ cam1.K
+    x1 = cam_ops.normalize(cam1, u1)
+    x2 = cam_ops.normalize(cam2, u2)
+    R, t = ess.decompose_essential(E, x1, x2, res.inliers)
+    return TwoViewGeometry(
+        R=R, t=t, inliers=res.inliers,
+        n_inliers=res.n_inliers, success=res.success,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def absolute_pose_p3p(
+    key: jax.Array,
+    X_world: jnp.ndarray,  # (M, 3) landmark positions
+    uv: jnp.ndarray,       # (M, 2) distorted pixel observations
+    mask: jnp.ndarray,     # (M,) bool
+    cam: cam_ops.Camera,
+    opts: RansacOptions,
+) -> Tuple[Pose, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """P3P RANSAC (Localizer.hpp:77-108 / resection parity).
+
+    Returns (pose, inliers (M,), n_inliers, success).
+    """
+    b = cam_ops.bearing(cam, uv)  # (M, 3)
+
+    def solver(Xs, bs):
+        poses, valid = p3p_ops.p3p_grunert(Xs, bs)
+        flat = jnp.concatenate(
+            [poses.R.reshape(4, 9), poses.C.reshape(4, 3)], axis=1
+        )  # (4, 12)
+        return flat, valid
+
+    def scorer(flat, Xw, bearings):
+        R = flat[:9].reshape(3, 3)
+        C = flat[9:]
+        Xc = (Xw - C) @ R.T
+        # residual between observed bearing and predicted direction, scaled to
+        # pixels: angle ~ tan(angle) * focal
+        proj = Xc / jnp.maximum(Xc[:, 2:3], 1e-9)
+        obs = bearings / jnp.maximum(bearings[:, 2:3], 1e-9)
+        err = jnp.sum((proj[:, :2] - obs[:, :2]) ** 2, axis=-1)
+        err = err * _mean_focal(cam) ** 2
+        behind = Xc[:, 2] <= 0
+        return jnp.where(behind, 1e12, err)
+
+    res = ransac(
+        key, (X_world, b), mask, solver, scorer,
+        sample_size=3, num_hypotheses=opts.num_hypotheses,
+        threshold_sq=opts.p3p_threshold ** 2,
+        inlier_multiple=opts.inlier_multiple,
+    )
+    pose = Pose(R=res.model[:9].reshape(3, 3), C=res.model[9:])
+    return pose, res.inliers, res.n_inliers, res.success
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def relative_pose_homography(
+    key: jax.Array,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    mask: jnp.ndarray,
+    cam1: cam_ops.Camera,
+    cam2: cam_ops.Camera,
+    opts: RansacOptions,
+) -> TwoViewGeometry:
+    """Model 'H' path: 4-point homography RANSAC + Euclidean decomposition +
+    chirality disambiguation (RobustMatcher.hpp:188-206, :39-126)."""
+    x1 = cam_ops.undistort(cam1, cam_ops.normalize(cam1, uv1))
+    x2 = cam_ops.undistort(cam2, cam_ops.normalize(cam2, uv2))
+    f = _mean_focal(cam1)
+    thr_sq = (opts.homography_threshold / f) ** 2
+
+    def solver(s1, s2):
+        H = homog.four_point(s1, s2)
+        return H[None], jnp.ones((1,), bool)
+
+    def scorer(H, a1, a2):
+        return homog.transfer_error_sq(H, a1, a2)
+
+    res = ransac(
+        key, (x1, x2), mask, solver, scorer,
+        sample_size=4, num_hypotheses=opts.num_hypotheses,
+        threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
+    )
+    R, t, _n, chirality_ok = homog.decompose_homography(
+        res.model, x1, x2, res.inliers, opts.chirality_ratio
+    )
+    return TwoViewGeometry(
+        R=R, t=t, inliers=res.inliers,
+        n_inliers=res.n_inliers, success=res.success & chirality_ok,
+    )

@@ -1,0 +1,177 @@
+"""Robust geometry tests: minimal solvers on synthetic minimal sets + full
+RANSAC pipelines with outliers (SURVEY.md §4: '5-pt/P3P minimal solvers on
+synthetic minimal sets', golden two-view configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coloc_tpu.config import RansacOptions
+from coloc_tpu.geometry import camera as cam_ops
+from coloc_tpu.geometry import essential as ess
+from coloc_tpu.geometry import homography as homog
+from coloc_tpu.geometry import p3p as p3p_ops
+from coloc_tpu.geometry import so3
+from coloc_tpu.robust import (
+    absolute_pose_p3p,
+    relative_pose_essential,
+    relative_pose_fundamental,
+    relative_pose_homography,
+)
+
+K = jnp.asarray(
+    [[458.0, 0.0, 376.0], [0.0, 457.0, 240.0], [0.0, 0.0, 1.0]], jnp.float32
+)
+CAM = cam_ops.Camera(K=K, dist=jnp.zeros(3, jnp.float32))
+
+
+def make_two_view(rng, n=200, n_outliers=80, planar=False):
+    """Synthetic two-view scene. Returns pixels uv1, uv2, GT (R, C), X."""
+    R = jnp.asarray(so3.exp(jnp.asarray([0.03, -0.25, 0.02], jnp.float32)))
+    C = jnp.asarray([1.0, 0.15, 0.05], jnp.float32)
+    if planar:
+        X = np.c_[rng.uniform(-3, 3, (n, 2)), np.full((n, 1), 8.0)]
+        # tilt the plane a bit
+        X = X @ np.asarray(so3.exp(jnp.asarray([0.2, 0.1, 0.0]))).T
+        X[:, 2] += 8.0
+    else:
+        X = np.c_[rng.uniform(-3, 3, (n, 2)), rng.uniform(5, 15, (n, 1))]
+    X = jnp.asarray(X, jnp.float32)
+    uv1 = cam_ops.project(CAM, jnp.eye(3), jnp.zeros(3), X)
+    uv2 = cam_ops.project(CAM, R, C, X)
+    # corrupt the last n_outliers with random pixels
+    bad = jnp.asarray(
+        rng.uniform(50, 600, (n_outliers, 2)), jnp.float32
+    )
+    uv2 = uv2.at[n - n_outliers :].set(bad)
+    inlier_gt = np.arange(n) < n - n_outliers
+    return uv1, uv2, R, C, X, inlier_gt
+
+
+def rot_err_deg(Ra, Rb):
+    cos = (np.trace(np.asarray(Ra).T @ np.asarray(Rb)) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+def dir_err_deg(a, b):
+    a = np.asarray(a) / np.linalg.norm(a)
+    b = np.asarray(b) / np.linalg.norm(b)
+    return np.degrees(np.arccos(np.clip(abs(a @ b), -1, 1)))
+
+
+class TestEightPoint:
+    def test_exact_minimal(self, rng):
+        uv1, uv2, R, C, X, _ = make_two_view(rng, n=8, n_outliers=0)
+        x1 = cam_ops.normalize(CAM, uv1)
+        x2 = cam_ops.normalize(CAM, uv2)
+        E = ess.eight_point(x1, x2)
+        # epipolar residuals must vanish (up to f32 eigh conditioning)
+        res = ess.symmetric_epipolar_distance_sq(E, x1, x2)
+        assert np.asarray(res).max() < 1e-5
+
+    def test_decomposition_recovers_motion(self, rng):
+        uv1, uv2, R, C, X, _ = make_two_view(rng, n=50, n_outliers=0)
+        x1 = cam_ops.normalize(CAM, uv1)
+        x2 = cam_ops.normalize(CAM, uv2)
+        E = ess.eight_point(x1, x2)
+        Rr, tr = ess.decompose_essential(E, x1, x2, jnp.ones(50, bool))
+        assert rot_err_deg(Rr, R) < 0.5
+        t_gt = -np.asarray(R) @ np.asarray(C)
+        assert dir_err_deg(tr, t_gt) < 0.5
+
+
+class TestEssentialRansac:
+    def test_with_outliers(self, rng):
+        uv1, uv2, R, C, X, inl_gt = make_two_view(rng, n=200, n_outliers=80)
+        geo = relative_pose_essential(
+            jax.random.PRNGKey(0), uv1, uv2, jnp.ones(200, bool), CAM, CAM,
+            RansacOptions(),
+        )
+        assert bool(geo.success)
+        assert rot_err_deg(geo.R, R) < 1.0
+        t_gt = -np.asarray(R) @ np.asarray(C)
+        assert dir_err_deg(geo.t, t_gt) < 1.0
+        inl = np.asarray(geo.inliers)
+        # recovered inlier set must essentially equal ground truth
+        assert (inl & ~inl_gt).sum() <= 3
+        assert inl[inl_gt].mean() > 0.9
+
+    def test_insufficient_inliers_fails(self, rng):
+        uv1, uv2, *_ = make_two_view(rng, n=24, n_outliers=20)
+        geo = relative_pose_essential(
+            jax.random.PRNGKey(0), uv1, uv2, jnp.ones(24, bool), CAM, CAM,
+            RansacOptions(),
+        )
+        assert not bool(geo.success)
+
+
+class TestFundamentalRansac:
+    def test_with_outliers(self, rng):
+        uv1, uv2, R, C, X, _ = make_two_view(rng, n=200, n_outliers=60)
+        geo = relative_pose_fundamental(
+            jax.random.PRNGKey(1), uv1, uv2, jnp.ones(200, bool), CAM, CAM,
+            RansacOptions(),
+        )
+        assert bool(geo.success)
+        assert rot_err_deg(geo.R, R) < 1.5
+
+
+class TestP3P:
+    def test_minimal_exact(self, rng):
+        R = jnp.asarray(so3.exp(jnp.asarray([0.1, 0.4, -0.2], jnp.float32)))
+        C = jnp.asarray([0.5, -0.3, 0.2], jnp.float32)
+        X = jnp.asarray(rng.uniform(-2, 2, (3, 3)) + [0, 0, 8], jnp.float32)
+        Xc = (X - C) @ R.T
+        b = Xc / jnp.linalg.norm(Xc, axis=1, keepdims=True)
+        poses, valid = p3p_ops.p3p_grunert(X, b)
+        found = False
+        for i in range(4):
+            if not bool(valid[i]):
+                continue
+            if rot_err_deg(poses.R[i], R) < 0.5 and np.linalg.norm(
+                np.asarray(poses.C[i] - C)
+            ) < 0.05:
+                found = True
+        assert found, "no P3P candidate matched ground truth"
+
+    def test_ransac_with_outliers(self, rng):
+        R = jnp.asarray(so3.exp(jnp.asarray([0.05, 0.3, -0.1], jnp.float32)))
+        C = jnp.asarray([0.4, -0.2, 0.3], jnp.float32)
+        n, n_out = 150, 50
+        X = jnp.asarray(
+            np.c_[rng.uniform(-3, 3, (n, 2)), rng.uniform(5, 14, (n, 1))],
+            jnp.float32,
+        )
+        uv = cam_ops.project(CAM, R, C, X)
+        uv = uv.at[n - n_out :].set(
+            jnp.asarray(rng.uniform(50, 600, (n_out, 2)), jnp.float32)
+        )
+        pose, inliers, n_inl, success = absolute_pose_p3p(
+            jax.random.PRNGKey(2), X, uv, jnp.ones(n, bool), CAM, RansacOptions()
+        )
+        assert bool(success)
+        assert rot_err_deg(pose.R, R) < 0.5
+        assert np.linalg.norm(np.asarray(pose.C - C)) < 0.05
+        assert int(n_inl) >= n - n_out - 5
+
+
+class TestHomography:
+    def test_four_point_exact(self, rng):
+        uv1, uv2, R, C, X, _ = make_two_view(rng, n=4, n_outliers=0, planar=True)
+        x1 = cam_ops.normalize(CAM, uv1)
+        x2 = cam_ops.normalize(CAM, uv2)
+        H = homog.four_point(x1, x2)
+        err = homog.transfer_error_sq(H, x1, x2)
+        assert np.asarray(err).max() < 1e-4  # f32 eigh precision
+
+    def test_ransac_planar_scene(self, rng):
+        uv1, uv2, R, C, X, _ = make_two_view(rng, n=120, n_outliers=30, planar=True)
+        geo = relative_pose_homography(
+            jax.random.PRNGKey(3), uv1, uv2, jnp.ones(120, bool), CAM, CAM,
+            RansacOptions(),
+        )
+        assert bool(geo.success)
+        assert rot_err_deg(geo.R, R) < 2.0
+        t_gt = -np.asarray(R) @ np.asarray(C)
+        assert dir_err_deg(geo.t, t_gt) < 2.0
