@@ -116,6 +116,83 @@ def symmetric_epipolar_distance_sq(
     return num / (denom + 1e-12) * 4.0
 
 
+def sampson_distance_sq(E, x1, x2):
+    """First-order geometric (Sampson) epipolar error, (M,)."""
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+    Ex1 = h1 @ E.T
+    Etx2 = h2 @ E
+    num = jnp.sum(h2 * Ex1, axis=-1) ** 2
+    denom = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / (denom + 1e-12)
+
+
+def _tangent_basis(t: jnp.ndarray) -> jnp.ndarray:
+    """(3, 2) orthonormal basis of the plane orthogonal to unit vector t."""
+    # pick the axis least aligned with t to seed Gram-Schmidt (branch-free)
+    a = jnp.where(jnp.abs(t[0]) < 0.9, jnp.array([1.0, 0.0, 0.0]),
+                  jnp.array([0.0, 1.0, 0.0]))
+    b1 = a - t * jnp.dot(a, t)
+    b1 = b1 / (jnp.linalg.norm(b1) + 1e-12)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], axis=1)
+
+
+def refine_relative_pose(
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    weights: jnp.ndarray,
+    iters: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gauss-Newton on the essential manifold: minimize weighted Sampson error
+    over (R in SO(3), t on S^2) — 5 DoF, so planar scenes stay well-posed
+    (unlike a linear 8-point re-fit). Plays the role of ACRANSAC's local
+    optimization + the essential part of the reference's later BA polish."""
+    from coloc_tpu.geometry import so3 as so3_ops
+
+    def step(carry, _):
+        R, t = carry
+        B = _tangent_basis(t)
+
+        def resid(p):
+            Rp = so3_ops.exp(p[:3]) @ R
+            tp = t + B @ p[3:]
+            tp = tp / (jnp.linalg.norm(tp) + 1e-12)
+            E = hat3(tp) @ Rp
+            return jnp.sqrt(sampson_distance_sq(E, x1, x2) + 1e-12) * weights
+
+        p0 = jnp.zeros(5)
+        r = resid(p0)
+        J = jax.jacfwd(resid)(p0)  # (M, 5)
+        JtJ = J.T @ J + 1e-8 * jnp.eye(5)
+        p = -jnp.linalg.solve(JtJ, J.T @ r)
+        R_new = so3_ops.exp(p[:3]) @ R
+        t_new = t + B @ p[3:]
+        t_new = t_new / (jnp.linalg.norm(t_new) + 1e-12)
+        # accept only if the weighted cost decreased (cheap trust region)
+        c_old = jnp.sum(r ** 2)
+        E_new = hat3(t_new) @ R_new
+        c_new = jnp.sum(
+            (jnp.sqrt(sampson_distance_sq(E_new, x1, x2) + 1e-12) * weights) ** 2
+        )
+        better = c_new < c_old
+        R_out = jnp.where(better, R_new, R)
+        t_out = jnp.where(better, t_new, t)
+        return (R_out, t_out), None
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
+
+
+def hat3(w: jnp.ndarray) -> jnp.ndarray:
+    zero = jnp.zeros_like(w[0])
+    return jnp.array(
+        [[zero, -w[2], w[1]], [w[2], zero, -w[0]], [-w[1], w[0], zero]]
+    )
+
+
 def decompose_essential(
     E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, mask: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

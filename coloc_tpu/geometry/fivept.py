@@ -1,0 +1,310 @@
+"""Batched Nistér 5-point essential-matrix solver.
+
+Reference parity: OpenMVG's FivePointSolver inside the ACRANSAC essential
+kernel (RobustMatcher.hpp:161-171). The 5-point solver matters beyond parity:
+the 8-point linear solver degenerates when the scene is plane-dominant (all
+points coplanar satisfy a 2-parameter family of E), which is the common case
+for downward/forward-facing MAV cameras — exactly this framework's workload.
+
+TPU-first formulation (no data-dependent branching, no nonsymmetric eig):
+  1. Null space of the 5x9 epipolar design matrix via SVD -> basis X,Y,Z,W;
+     E = x X + y Y + z Z + W.
+  2. The 10 cubic constraints (det E = 0 and 2 E E^T E - tr(E E^T) E = 0)
+     are expanded at TRACE TIME with exact polynomial bookkeeping (the
+    `_Poly` helper below) into the 10x20 coefficient matrix over Nistér's
+     monomial order — no hand-derived coefficient tables.
+  3. Gauss-Jordan reduction = one 10x10 linear solve.
+  4. Nistér's <k>,<l>,<m> row combinations give a 3x3 matrix in z whose
+     determinant is the degree-10 polynomial; roots via fixed-iteration
+     Durand-Kerner (complex64) + Newton polish, as in geometry/p3p.py.
+  5. Each real root -> (x, y) by a 2x2 solve -> E candidate. Up to 10
+     candidates per sample, masked by a validity flag for the RANSAC harness.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class _Poly:
+    """Trace-time polynomial in (x, y, z): dict[(i,j,k)] -> jnp scalar."""
+
+    __slots__ = ("terms",)
+
+    def __init__(self, terms=None):
+        self.terms = dict(terms or {})
+
+    @staticmethod
+    def const(c):
+        return _Poly({(0, 0, 0): c})
+
+    def __add__(self, other):
+        out = dict(self.terms)
+        for m, c in other.terms.items():
+            out[m] = out[m] + c if m in out else c
+        return _Poly(out)
+
+    def __sub__(self, other):
+        out = dict(self.terms)
+        for m, c in other.terms.items():
+            out[m] = out[m] - c if m in out else -c
+        return _Poly(out)
+
+    def __mul__(self, other):
+        out = {}
+        for m1, c1 in self.terms.items():
+            for m2, c2 in other.terms.items():
+                m = (m1[0] + m2[0], m1[1] + m2[1], m1[2] + m2[2])
+                prod = c1 * c2
+                out[m] = out[m] + prod if m in out else prod
+        return _Poly(out)
+
+    def coeff(self, m):
+        return self.terms.get(m, jnp.float32(0.0))
+
+
+# Nistér's monomial order for the 10x20 constraint matrix
+_MONOMIALS = [
+    (3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1), (2, 0, 0),
+    (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0),
+    (1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1), (0, 1, 0),
+    (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0),
+]
+
+
+def _null_basis(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """(5,2),(5,2) normalized coords -> (4, 3, 3) null-space basis of A."""
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    one = jnp.ones_like(u1)
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1
+    )  # (5, 9)
+    # full SVD: the right-singular vectors beyond rank 5 span the null space.
+    # (SVD of A, not eigh of A^T A — squaring the condition number costs real
+    # accuracy in f32, and this solver is precision-critical.)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    return Vt[5:9].reshape(4, 3, 3)
+
+
+def _constraint_matrix(basis: jnp.ndarray) -> jnp.ndarray:
+    """(4,3,3) basis -> (10, 20) cubic-constraint coefficient matrix."""
+    X, Y, Z, W = basis[0], basis[1], basis[2], basis[3]
+
+    # E entries as degree-1 polynomials
+    E = [[None] * 3 for _ in range(3)]
+    for r in range(3):
+        for c in range(3):
+            E[r][c] = _Poly({
+                (1, 0, 0): X[r, c],
+                (0, 1, 0): Y[r, c],
+                (0, 0, 1): Z[r, c],
+                (0, 0, 0): W[r, c],
+            })
+
+    def matmul(A, B):
+        return [
+            [sum((A[r][k] * B[k][c] for k in range(3)), _Poly())
+             for c in range(3)]
+            for r in range(3)
+        ]
+
+    Et = [[E[c][r] for c in range(3)] for r in range(3)]
+    EEt = matmul(E, Et)
+    EEtE = matmul(EEt, E)
+    trace = EEt[0][0] + EEt[1][1] + EEt[2][2]
+
+    eqs = []
+    # det(E) = 0
+    det = (
+        E[0][0] * (E[1][1] * E[2][2] - E[1][2] * E[2][1])
+        - E[0][1] * (E[1][0] * E[2][2] - E[1][2] * E[2][0])
+        + E[0][2] * (E[1][0] * E[2][1] - E[1][1] * E[2][0])
+    )
+    eqs.append(det)
+    # 2 E E^T E - tr(E E^T) E = 0, nine entries
+    two = _Poly.const(jnp.float32(2.0))
+    for r in range(3):
+        for c in range(3):
+            eqs.append(two * EEtE[r][c] - trace * E[r][c])
+
+    rows = [
+        jnp.stack([eq.coeff(m) for m in _MONOMIALS]) for eq in eqs
+    ]
+    return jnp.stack(rows)  # (10, 20)
+
+
+def _poly_z(coeffs_ascending):
+    """Helper: evaluate/operate on z-polynomials stored ascending."""
+    return jnp.stack(coeffs_ascending)
+
+
+def _det3_polys(P, Q, R):
+    """det of [[P0,Q0,R0],[P1,Q1,R1],[P2,Q2,R2]] where P,Q are (3, dP) and R
+    (3, dR) ascending z-polynomials -> (11,) degree-10 polynomial."""
+
+    def pmul(a, b):
+        n = a.shape[0] + b.shape[0] - 1
+        out = jnp.zeros(n)
+        for i in range(a.shape[0]):
+            out = out.at[i : i + b.shape[0]].add(a[i] * b)
+        return out
+
+    def psub(a, b):
+        n = max(a.shape[0], b.shape[0])
+        return (
+            jnp.pad(a, (0, n - a.shape[0])) - jnp.pad(b, (0, n - b.shape[0]))
+        )
+
+    m01 = psub(pmul(Q[1], R[2]), pmul(Q[2], R[1]))
+    m11 = psub(pmul(P[1], R[2]), pmul(P[2], R[1]))
+    m21 = psub(pmul(P[1], Q[2]), pmul(P[2], Q[1]))
+    det = psub(psub(pmul(P[0], m01), pmul(Q[0], m11)), pmul(R[0], m21) * -1.0)
+    # det = P0*(Q1R2-Q2R1) - Q0*(P1R2-P2R1) + R0*(P1Q2-P2Q1)
+    return jnp.pad(det, (0, 11 - det.shape[0]))
+
+
+def _durand_kerner(coeffs: jnp.ndarray, degree: int = 10, iters: int = 120):
+    """Roots of ascending-coefficient polynomial; returns (roots, is_real)."""
+    lead = coeffs[degree]
+    lead = jnp.where(jnp.abs(lead) < 1e-12, 1e-12, lead)
+    c = coeffs / lead  # monic, ascending
+
+    # Variable rescaling z = s*w so roots sit at O(1): without it, samples
+    # with |c_k| >> 1 put the Cauchy bound (and hence the DK start circle)
+    # thousands of units out and 120 iterations never converge.
+    k = jnp.arange(degree)
+    mag = jnp.maximum(jnp.abs(c[:degree]), 1e-30)
+    s = jnp.max(mag ** (1.0 / (degree - k)))
+    s = jnp.clip(s, 1e-3, 1e6)
+    c = c * jnp.exp(
+        (jnp.arange(degree + 1).astype(jnp.float32) - degree) * jnp.log(s)
+    )
+
+    def poly(z):
+        acc = jnp.full_like(z, c[degree])
+        for i in range(degree - 1, -1, -1):
+            acc = acc * z + c[i]
+        return acc
+
+    seed = jnp.asarray(0.4 + 0.9j, jnp.result_type(jnp.complex64, coeffs.dtype))
+    z0 = seed ** jnp.arange(1, degree + 1)
+
+    def body(_, z):
+        pz = poly(z)
+        diff = z[:, None] - z[None, :]
+        diff = jnp.where(jnp.eye(degree, dtype=bool), 1.0 + 0.0j, diff)
+        denom = jnp.prod(diff, axis=1)
+        return z - pz / (denom + 1e-20)
+
+    z = jax.lax.fori_loop(0, iters, body, z0)
+
+    def dpoly_real(x):
+        acc = jnp.full_like(x, degree * jnp.real(c[degree]))
+        for i in range(degree - 1, 0, -1):
+            acc = acc * x + i * jnp.real(c[i])
+        return acc
+
+    x = jnp.real(z)
+    for _ in range(3):
+        x = x - jnp.real(poly(x.astype(jnp.result_type(jnp.complex64, x.dtype)))) / (
+            dpoly_real(x) + 1e-12
+        )
+    # Very loose realness gate: in f32, Durand-Kerner may leave sizeable
+    # imaginary parts even on genuine real roots (clustered-root stalls); the
+    # per-root Gauss-Newton polish downstream recovers true solutions from
+    # the real part, and spurious candidates are cheap — the RANSAC scorer
+    # votes them out. Gate only filters clearly-complex roots and NaNs.
+    is_real = jnp.abs(jnp.imag(z)) < 0.5 * (jnp.abs(jnp.real(z)) + 1.0)
+    is_real = is_real & jnp.isfinite(x)
+    return x * s, is_real  # undo the variable rescaling
+
+
+def five_point(
+    x1: jnp.ndarray, x2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """5 correspondences (5,2)+(5,2) -> (10, 3, 3) E candidates + (10,) valid."""
+    basis = _null_basis(x1, x2)
+    M = _constraint_matrix(basis)  # (10, 20)
+
+    A10 = M[:, :10]
+    B10 = M[:, 10:]
+    # Gauss-Jordan: tail of the reduced rows; regularize mildly for stability
+    tail = jnp.linalg.solve(
+        A10 + 1e-10 * jnp.eye(10), B10
+    )  # (10, 10) over monomials [xz2,xz,x,yz2,yz,y,z3,z2,z,1]
+
+    def row_polys(r):
+        # ascending z-polynomials for x, y, const parts of `x P + y Q + R`
+        P = jnp.stack([r[2], r[1], r[0]])          # x: [x, xz, xz^2]
+        Q = jnp.stack([r[5], r[4], r[3]])          # y
+        R = jnp.stack([r[9], r[8], r[7], r[6]])    # 1: [1, z, z^2, z^3]
+        return P, Q, R
+
+    def combine(ra, rb):
+        """<k> = eq(ra) - z * eq(rb): returns deg-3 P,Q and deg-4 R."""
+        Pa, Qa, Ra = row_polys(ra)
+        Pb, Qb, Rb = row_polys(rb)
+        P = jnp.pad(Pa, (0, 1)) - jnp.concatenate([jnp.zeros(1), Pb])
+        Q = jnp.pad(Qa, (0, 1)) - jnp.concatenate([jnp.zeros(1), Qb])
+        R = jnp.pad(Ra, (0, 1)) - jnp.concatenate([jnp.zeros(1), Rb])
+        return P, Q, R
+
+    Pk, Qk, Rk = combine(tail[4], tail[5])
+    Pl, Ql, Rl = combine(tail[6], tail[7])
+    Pm, Qm, Rm = combine(tail[8], tail[9])
+
+    n_poly = _det3_polys(
+        (Pk, Pl, Pm), (Qk, Ql, Qm), (Rk, Rl, Rm)
+    )  # (11,) ascending
+
+    roots, is_real = _durand_kerner(n_poly)  # (10,), (10,)
+
+    def constraint_residuals(xyz):
+        """Evaluate the 10 cubic constraints at (x, y, z) via M @ monomials."""
+        x, y, z = xyz[0], xyz[1], xyz[2]
+        mono = jnp.stack([
+            x ** pi * y ** pj * z ** pk for (pi, pj, pk) in _MONOMIALS
+        ])
+        return M @ mono
+
+    def e_from_root(z):
+        def ev(p):
+            acc = p[-1]
+            for i in range(p.shape[0] - 2, -1, -1):
+                acc = acc * z + p[i]
+            return acc
+
+        # solve for (x, y) via least squares over all three reduced equations
+        Amat = jnp.array(
+            [[ev(Pk), ev(Qk)], [ev(Pl), ev(Ql)], [ev(Pm), ev(Qm)]]
+        )
+        bvec = -jnp.array([ev(Rk), ev(Rl), ev(Rm)])
+        AtA = Amat.T @ Amat + 1e-12 * jnp.eye(2)
+        xy = jnp.linalg.solve(AtA, Amat.T @ bvec)
+        xyz = jnp.array([xy[0], xy[1], z])
+
+        # Gauss-Newton polish of (x, y, z) on the original 10 constraints —
+        # recovers the accuracy the f32 GJ reduction + root-finding lost
+        def gn_step(v, _):
+            r = constraint_residuals(v)
+            J = jax.jacfwd(constraint_residuals)(v)
+            JtJ = J.T @ J + 1e-9 * jnp.eye(3)
+            return v - jnp.linalg.solve(JtJ, J.T @ r), None
+
+        xyz, _ = jax.lax.scan(gn_step, xyz, None, length=4)
+
+        E = (
+            xyz[0] * basis[0] + xyz[1] * basis[1] + xyz[2] * basis[2] + basis[3]
+        )
+        norm = jnp.linalg.norm(E)
+        return E / jnp.where(norm < 1e-12, 1e-12, norm)
+
+    Es = jax.vmap(e_from_root)(roots)  # (10, 3, 3)
+    return Es, is_real
+
+
+five_point_batch = jax.vmap(five_point)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from coloc_tpu.config import RansacOptions
 from coloc_tpu.geometry import camera as cam_ops
 from coloc_tpu.geometry import essential as ess
+from coloc_tpu.geometry import fivept
 from coloc_tpu.geometry import homography as homog
 from coloc_tpu.geometry import p3p as p3p_ops
 from coloc_tpu.ransac import RansacResult, ransac
@@ -43,7 +44,12 @@ def relative_pose_essential(
     cam2: cam_ops.Camera,
     opts: RansacOptions,
 ) -> TwoViewGeometry:
-    """Model 'E' path: batched 8-point essential RANSAC + decomposition."""
+    """Model 'E' path: batched Nistér 5-point RANSAC + decomposition +
+    Gauss-Newton polish on the essential manifold.
+
+    The 5-point minimal solver (vs 8-point) is required for plane-dominant
+    scenes — the common MAV case — where the linear solver degenerates
+    (geometry/fivept.py docstring)."""
     x1 = cam_ops.undistort(cam1, cam_ops.normalize(cam1, uv1))
     x2 = cam_ops.undistort(cam2, cam_ops.normalize(cam2, uv2))
 
@@ -51,33 +57,31 @@ def relative_pose_essential(
     thr_sq = (opts.essential_threshold / f) ** 2
 
     def solver(s1, s2):
-        E = ess.eight_point(s1, s2)
-        return E[None], jnp.ones((1,), bool)
+        return fivept.five_point(s1, s2)  # (10, 3, 3), (10,)
 
     def scorer(E, a1, a2):
         return ess.symmetric_epipolar_distance_sq(E, a1, a2)
 
     res = ransac(
         key, (x1, x2), mask, solver, scorer,
-        sample_size=8, num_hypotheses=opts.num_hypotheses,
+        sample_size=5, num_hypotheses=opts.num_hypotheses,
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
     )
 
-    # least-squares re-fit on the full inlier set (ACRANSAC's local
-    # optimization step equivalent) — a minimal-sample model alone leaves
-    # several degrees of translation-direction error at realistic pixel noise
-    E_refit = ess.eight_point(x1, x2, weights=res.inliers.astype(jnp.float32))
-    refit_inl = (scorer(E_refit, x1, x2) < thr_sq) & mask
-    better = jnp.sum(refit_inl) >= res.n_inliers
-    E_best = jnp.where(better, E_refit, res.model)
-    inliers = jnp.where(better, refit_inl, res.inliers)
-    n_inliers = jnp.where(better, jnp.sum(refit_inl.astype(jnp.int32)), res.n_inliers)
-    res = res._replace(model=E_best, inliers=inliers, n_inliers=n_inliers)
-
     R, t = ess.decompose_essential(res.model, x1, x2, res.inliers)
+    # manifold-respecting local optimization on the inlier set (plays the
+    # role of ACRANSAC's refinement; planar-safe, unlike a linear re-fit)
+    R, t = ess.refine_relative_pose(
+        R, t, x1, x2, res.inliers.astype(jnp.float32)
+    )
+    E_ref = ess.hat3(t) @ R
+    inliers = (scorer(E_ref, x1, x2) < thr_sq) & mask
+    keep = jnp.sum(inliers) >= res.n_inliers
+    inliers = jnp.where(keep, inliers, res.inliers)
+    n_inliers = jnp.sum(inliers.astype(jnp.int32))
     return TwoViewGeometry(
-        R=R, t=t, inliers=res.inliers,
-        n_inliers=res.n_inliers, success=res.success,
+        R=R, t=t, inliers=inliers,
+        n_inliers=n_inliers, success=res.success,
     )
 
 

@@ -81,7 +81,64 @@ class TestEightPoint:
         assert dir_err_deg(tr, t_gt) < 0.5
 
 
+class TestFivePoint:
+    def _make(self, rng, n, planar):
+        R = jnp.asarray(so3.exp(jnp.asarray(rng.normal(0, 0.2, 3), jnp.float32)))
+        C = jnp.asarray(rng.normal(0, 0.5, 3), jnp.float32)
+        if planar:
+            X = np.c_[rng.uniform(-3, 3, (n, 2)), np.full((n, 1), 8.0)]
+        else:
+            X = np.c_[rng.uniform(-3, 3, (n, 2)), rng.uniform(5, 15, (n, 1))]
+        X = jnp.asarray(X, jnp.float32)
+        x1 = X[:, :2] / X[:, 2:]
+        Xc = (X - C) @ R.T
+        x2 = Xc[:, :2] / Xc[:, 2:]
+        return x1, x2
+
+    @pytest.mark.parametrize("planar", [False, True])
+    def test_minimal_solves(self, rng, planar):
+        """Every synthetic minimal set must yield a candidate E that nulls
+        the epipolar residual on held-out points — including PLANAR sets,
+        the case the 8-point solver cannot handle."""
+        from coloc_tpu.geometry import fivept
+
+        for _ in range(10):
+            x1, x2 = self._make(rng, 8, planar)
+            Es, valid = fivept.five_point(x1[:5], x2[:5])
+            best = 1e9
+            for i in range(10):
+                if bool(valid[i]):
+                    r = float(np.asarray(
+                        ess.symmetric_epipolar_distance_sq(Es[i], x1, x2)
+                    ).max())
+                    best = min(best, r)
+            assert best < 1e-4, f"5pt failed: residual {best}"
+
+
 class TestEssentialRansac:
+    def test_plane_dominant_scene(self, rng):
+        """90% of points on one plane + 10% off-plane: 8-point degenerates
+        here; the 5-point path must stay accurate (the MAV-camera case)."""
+        R = jnp.asarray(so3.exp(jnp.asarray([0.01, -0.06, 0.005], jnp.float32)))
+        C = jnp.asarray([0.5, 0.08, 0.0], jnp.float32)
+        n_plane, n_off = 180, 20
+        Xp = np.c_[rng.uniform(-4, 4, (n_plane, 2)), np.full((n_plane, 1), 12.0)]
+        Xo = np.c_[rng.uniform(-2, 2, (n_off, 2)), rng.uniform(5, 9, (n_off, 1))]
+        X = jnp.asarray(np.vstack([Xp, Xo]), jnp.float32)
+        uv1 = cam_ops.project(CAM, jnp.eye(3), jnp.zeros(3), X)
+        uv2 = cam_ops.project(CAM, R, C, X)
+        rng2 = np.random.default_rng(1)
+        uv1 = uv1 + jnp.asarray(rng2.normal(0, 0.3, uv1.shape), jnp.float32)
+        uv2 = uv2 + jnp.asarray(rng2.normal(0, 0.3, uv2.shape), jnp.float32)
+        geo = relative_pose_essential(
+            jax.random.PRNGKey(0), uv1, uv2, jnp.ones(200, bool), CAM, CAM,
+            RansacOptions(),
+        )
+        assert bool(geo.success)
+        assert rot_err_deg(geo.R, R) < 0.5
+        t_gt = -np.asarray(R) @ np.asarray(C)
+        assert dir_err_deg(geo.t, t_gt) < 3.0
+
     def test_with_outliers(self, rng):
         uv1, uv2, R, C, X, inl_gt = make_two_view(rng, n=200, n_outliers=80)
         geo = relative_pose_essential(
