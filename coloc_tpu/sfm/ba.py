@@ -1,0 +1,291 @@
+"""Bundle adjustment: Levenberg-Marquardt with Schur complement + pose
+covariance.
+
+Reference parity: Refiner.hpp — Ceres problem with angle-axis+translation
+pose blocks (:62-105), optional constant intrinsics/rotation/translation/
+structure subsets (:87-120), Huber loss delta^2=16 (:122), SPARSE_SCHUR
+(:158-173), and ceres::Covariance extracting the 6x6 pose covariance block
+(:177-202); poses written back as Pose3(R, -R^T t) (:226-236); returns
+reprojection RMSE (:223). Call-site patterns replicated:
+  - full BA, first pose fixed (Reconstructor.hpp:150-161)
+  - pose-only, structure fixed (Localizer.hpp:132-133)
+  - poses-only multi-view (inter-drone refinement, coloc.hpp:339)
+
+TPU-first: scenes here are tiny (<=8 views, <=4096 landmarks), so the
+"sparse" Schur solve is a dense (6V x 6V) solve after eliminating landmark
+blocks — all fixed-shape, jit/vmap-friendly. Robustness = Huber IRLS weights.
+LM damping handled with a fixed-iteration accept/reject scan (no
+data-dependent trip counts). Pose covariance = inverse of the damped-free
+Schur complement, matching the Ceres covariance semantics.
+
+Parameter convention (documented deviation from Ceres's (angle-axis, t)):
+pose perturbations are (w, dC) — rotation tangent and CENTER shift. The 6x6
+covariance is returned in this (w, dC) ordering: rotation block [0:3,0:3],
+center block [3:6,3:6]. Downstream consumers (KF measurement noise, CI
+fusion, CSV logs) all use this one convention consistently.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coloc_tpu.config import RefinerOptions
+from coloc_tpu.geometry import camera as cam_ops
+from coloc_tpu.geometry import so3
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity bundle-adjustment problem.
+
+    V views, L landmarks (static). obs[v, l] is the observed distorted pixel
+    of landmark l in view v where obs_mask[v, l] else ignored.
+    """
+
+    Rs: jnp.ndarray        # (V, 3, 3)
+    Cs: jnp.ndarray        # (V, 3)
+    X: jnp.ndarray         # (L, 3)
+    obs: jnp.ndarray       # (V, L, 2)
+    obs_mask: jnp.ndarray  # (V, L) bool
+    Ks: jnp.ndarray        # (V, 3, 3) intrinsics (always held constant)
+    dists: jnp.ndarray     # (V, 3) radial k1,k2,k3
+
+
+class BAResult(NamedTuple):
+    Rs: jnp.ndarray
+    Cs: jnp.ndarray
+    X: jnp.ndarray
+    cov: jnp.ndarray       # (6, 6) pose covariance of `cov_view`
+    rmse: jnp.ndarray      # () float32
+    n_obs: jnp.ndarray     # () int32
+
+
+def _project_residual(R, C, K, dist, X, uv):
+    cam = cam_ops.Camera(K=K, dist=dist)
+    pred = cam_ops.project(cam, R, C, X)
+    return pred - uv
+
+
+def _huber_weights(res_sq: jnp.ndarray, delta_sq: float) -> jnp.ndarray:
+    """IRLS sqrt-weights for the Huber loss (delta^2 = 16, Refiner.hpp:122)."""
+    w = jnp.where(res_sq <= delta_sq, 1.0, jnp.sqrt(delta_sq / jnp.maximum(res_sq, 1e-12)))
+    return jnp.sqrt(w)
+
+
+def _spd_inv(M: jnp.ndarray, rel_floor: float = 1e-6) -> jnp.ndarray:
+    """Inverse of symmetric PSD blocks via eigh with a RELATIVE eigenvalue
+    floor. f32 LU-based `inv` NaNs out on the nearly-rank-deficient landmark
+    blocks (cond ~1e11) that parallel-ray landmarks produce; an absolute
+    regularizer can't track the 1e5-spread of block scales. Works on (..., n, n)."""
+    evals, evecs = jnp.linalg.eigh(M)
+    floor = rel_floor * jnp.max(jnp.abs(evals), axis=-1, keepdims=True) + 1e-12
+    inv_evals = 1.0 / jnp.maximum(evals, floor)
+    return jnp.einsum("...ij,...j,...kj->...ik", evecs, inv_evals, evecs)
+
+
+def _apply_pose_delta(Rs, Cs, dp):
+    """dp (V, 6): (w, dC) tangent update per view."""
+    Rn = jax.vmap(lambda w, R: so3.exp(w) @ R)(dp[:, :3], Rs)
+    Cn = Cs + dp[:, 3:]
+    return Rn, Cn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "optimize_structure", "cov_view"),
+)
+def refine(
+    problem: BAProblem,
+    opts: RefinerOptions,
+    fix_pose: jnp.ndarray,          # (V,) bool — poses held constant
+    optimize_structure: bool = True,
+    cov_view: int = 1,              # Refiner.hpp:188: pose block 1 (or 0)
+) -> BAResult:
+    """LM bundle adjustment. Returns refined poses/structure + covariance."""
+    V = problem.Rs.shape[0]
+    L = problem.X.shape[0]
+    delta_sq = opts.huber_delta_sq
+
+    obs_mask_f = problem.obs_mask.astype(jnp.float32)
+    n_obs = jnp.sum(problem.obs_mask.astype(jnp.int32))
+
+    def residuals(Rs, Cs, X):
+        """(V, L, 2) raw reprojection residuals (masked entries zeroed)."""
+        def per_view(R, C, K, dist, obs_v, mask_v):
+            r = _project_residual(R, C, K, dist, X, obs_v)
+            return r * mask_v[:, None]
+        return jax.vmap(per_view)(
+            Rs, Cs, problem.Ks, problem.dists, problem.obs, obs_mask_f,
+        )
+
+    def build_normal_eqs(Rs, Cs, X, lm_lambda):
+        """One robust GN linearization; returns (dp (V,6), dX (L,3), cost)."""
+        # jacobians per observation wrt pose (6) and point (3)
+        def jac_obs(R, C, K, dist, Xl, uv):
+            def f(p, dx):
+                Rp = so3.exp(p[:3]) @ R
+                Cp = C + p[3:]
+                return _project_residual(Rp, Cp, K, dist, Xl + dx, uv)
+            Jp = jax.jacfwd(f, argnums=0)(jnp.zeros(6), jnp.zeros(3))  # (2, 6)
+            Jx = jax.jacfwd(f, argnums=1)(jnp.zeros(6), jnp.zeros(3))  # (2, 3)
+            r = f(jnp.zeros(6), jnp.zeros(3))
+            return Jp, Jx, r
+
+        def per_view(R, C, K, dist, obs_v):
+            return jax.vmap(
+                lambda Xl, uv: jac_obs(R, C, K, dist, Xl, uv)
+            )(X, obs_v)
+
+        Jp, Jx, r = jax.vmap(per_view)(
+            Rs, Cs, problem.Ks, problem.dists, problem.obs
+        )  # (V, L, 2, 6), (V, L, 2, 3), (V, L, 2)
+
+        res_sq = jnp.sum(r * r, axis=-1)                      # (V, L)
+        w = _huber_weights(res_sq, delta_sq) * obs_mask_f     # (V, L)
+        Jp = Jp * w[..., None, None]
+        Jx = Jx * w[..., None, None]
+        rw = r * w[..., None]
+
+        # fixed poses contribute no pose jacobian
+        free = (~fix_pose).astype(jnp.float32)
+        Jp = Jp * free[:, None, None, None]
+
+        cost = jnp.sum(rw * rw)
+
+        # normal equation blocks
+        U = jnp.einsum("vlri,vlrj->vij", Jp, Jp)              # (V, 6, 6)
+        Wb = jnp.einsum("vlri,vlrj->vlij", Jp, Jx)            # (V, L, 6, 3)
+        Vb = jnp.einsum("vlri,vlrj->lij", Jx, Jx)             # (L, 3, 3)
+        gp = -jnp.einsum("vlri,vlr->vi", Jp, rw)              # (V, 6)
+        gx = -jnp.einsum("vlri,vlr->li", Jx, rw)              # (L, 3)
+
+        lam = lm_lambda
+        U_d = U + lam * jnp.eye(6)[None]
+        Vb_d = Vb + lam * jnp.eye(3)[None]
+
+        if optimize_structure:
+            Vinv = _spd_inv(Vb_d)  # (L, 3, 3)
+            # Schur: S = U_full - sum_l W V^-1 W^T  (cross-view coupling)
+            WVinv = jnp.einsum("vlij,ljk->vlik", Wb, Vinv)         # (V, L, 6, 3)
+            S_blocks = jnp.einsum("vlik,wljk->vwij", WVinv, Wb)    # (V, V, 6, 6)
+            S = -S_blocks
+            S = S.at[jnp.arange(V), jnp.arange(V)].add(U_d)
+            rhs = gp - jnp.einsum("vlik,lk->vi", WVinv, gx)        # (V, 6)
+
+            S_full = S.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
+            # fixed poses: identity rows/cols so the solve stays well-posed
+            free_mask = jnp.repeat(free, 6)
+            S_full = S_full * free_mask[:, None] * free_mask[None, :]
+            S_full = S_full + jnp.diag(jnp.where(free_mask > 0, 0.0, 1.0))
+            rhs_full = rhs.reshape(-1) * free_mask
+
+            dp = (_spd_inv(S_full) @ rhs_full).reshape(V, 6)
+            dX = jnp.einsum(
+                "lij,lj->li", Vinv,
+                gx - jnp.einsum("vlij,vi->lj", Wb, dp),
+            )
+        else:
+            U_full = jax.scipy.linalg.block_diag(
+                *[U_d[i] for i in range(V)]
+            )
+            free_mask = jnp.repeat(free, 6)
+            U_full = U_full * free_mask[:, None] * free_mask[None, :]
+            U_full = U_full + jnp.diag(jnp.where(free_mask > 0, 0.0, 1.0))
+            dp = (_spd_inv(U_full) @ (gp.reshape(-1) * free_mask)).reshape(V, 6)
+            dX = jnp.zeros_like(X)
+
+        return dp, dX, cost
+
+    def current_cost(Rs, Cs, X):
+        r = residuals(Rs, Cs, X)
+        res_sq = jnp.sum(r * r, axis=-1)
+        w = _huber_weights(res_sq, delta_sq) * obs_mask_f
+        return jnp.sum((r * w[..., None]) ** 2)
+
+    def lm_step(state, _):
+        Rs, Cs, X, lam = state
+        dp, dX, cost = build_normal_eqs(Rs, Cs, X, lam)
+        if not optimize_structure:
+            dX = jnp.zeros_like(X)
+        Rn, Cn = _apply_pose_delta(Rs, Cs, dp)
+        Xn = X + dX
+        new_cost = current_cost(Rn, Cn, Xn)
+        accept = new_cost < cost
+        Rs = jnp.where(accept, Rn, Rs)
+        Cs = jnp.where(accept, Cn, Cs)
+        X = jnp.where(accept, Xn, X)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
+                        jnp.minimum(lam * 4.0, 1e4))
+        return (Rs, Cs, X, lam), None
+
+    init = (problem.Rs, problem.Cs, problem.X, jnp.float32(1e-3))
+    (Rs, Cs, X, _lam), _ = jax.lax.scan(
+        lm_step, init, None, length=opts.max_iterations
+    )
+
+    # ---- covariance at the solution (undamped Schur complement inverse) ----
+    cov = _pose_covariance(
+        problem, Rs, Cs, X, fix_pose, optimize_structure, cov_view, delta_sq,
+        obs_mask_f,
+    )
+
+    r = residuals(Rs, Cs, X)
+    rmse = jnp.sqrt(
+        jnp.sum(jnp.sum(r * r, axis=-1)) / jnp.maximum(n_obs, 1)
+    )
+    return BAResult(Rs=Rs, Cs=Cs, X=X, cov=cov, rmse=rmse, n_obs=n_obs)
+
+
+def _pose_covariance(
+    problem, Rs, Cs, X, fix_pose, optimize_structure, cov_view, delta_sq,
+    obs_mask_f,
+):
+    """6x6 covariance of pose `cov_view` = corresponding block of the inverse
+    reduced camera system (ceres::Covariance parity, Refiner.hpp:177-202)."""
+    V = Rs.shape[0]
+
+    def jacs(R, C, K, dist, obs_v):
+        def f_obs(Xl, uv):
+            def f(p, dx):
+                Rp = so3.exp(p[:3]) @ R
+                Cp = C + p[3:]
+                return _project_residual(Rp, Cp, K, dist, Xl + dx, uv)
+            Jp = jax.jacfwd(f, argnums=0)(jnp.zeros(6), jnp.zeros(3))
+            Jx = jax.jacfwd(f, argnums=1)(jnp.zeros(6), jnp.zeros(3))
+            r = f(jnp.zeros(6), jnp.zeros(3))
+            return Jp, Jx, r
+        return jax.vmap(f_obs)(X, obs_v)
+
+    Jp, Jx, r = jax.vmap(jacs)(
+        Rs, Cs, problem.Ks, problem.dists, problem.obs
+    )
+    res_sq = jnp.sum(r * r, axis=-1)
+    w = _huber_weights(res_sq, delta_sq) * obs_mask_f
+    Jp = Jp * w[..., None, None]
+    Jx = Jx * w[..., None, None]
+    free = (~fix_pose).astype(jnp.float32)
+    Jp = Jp * free[:, None, None, None]
+
+    U = jnp.einsum("vlri,vlrj->vij", Jp, Jp)
+    if optimize_structure:
+        Wb = jnp.einsum("vlri,vlrj->vlij", Jp, Jx)
+        Vb = jnp.einsum("vlri,vlrj->lij", Jx, Jx)
+        Vinv = _spd_inv(Vb)
+        WVinv = jnp.einsum("vlij,ljk->vlik", Wb, Vinv)
+        S_blocks = jnp.einsum("vlik,wljk->vwij", WVinv, Wb)
+        S = -S_blocks
+        S = S.at[jnp.arange(V), jnp.arange(V)].add(U)
+    else:
+        S = jnp.zeros((V, V, 6, 6))
+        S = S.at[jnp.arange(V), jnp.arange(V)].add(U)
+
+    S_full = S.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
+    free_mask = jnp.repeat(free, 6)
+    S_full = S_full * free_mask[:, None] * free_mask[None, :]
+    S_full = S_full + jnp.diag(jnp.where(free_mask > 0, 0.0, 1.0))
+    Sinv = _spd_inv(S_full)
+    i = cov_view * 6
+    return jax.lax.dynamic_slice(Sinv, (i, i), (6, 6))
