@@ -1,0 +1,94 @@
+"""CLI entry point (reference: src/coloc_node.cpp main).
+
+Usage:
+  python -m coloc_tpu.cli --folder DATA --calib calib.txt --drones 2 \
+      --frames 50 --out runs/session1
+  python -m coloc_tpu.cli --synthetic --frames 20 --out runs/demo
+
+Mirrors coloc_node.cpp: reads calib.txt, builds the session with the
+reference's default options (maxkp, 1.2x8 pyramid, FAST 40, ratio 0.8,
+margin 60, model 'E'), and runs the main loop over the image folder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="coloc_tpu session runner")
+    ap.add_argument("--folder", default="", help="image folder (img__Quad{d}_{f:04d}.png)")
+    ap.add_argument("--calib", default="", help="calib.txt path")
+    ap.add_argument("--drones", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=0, help="0 = all available")
+    ap.add_argument("--out", default="coloc_out")
+    ap.add_argument("--model", default="E", choices=["E", "F", "H"])
+    ap.add_argument("--maxkp", type=int, default=1024)
+    ap.add_argument("--inter-every", type=int, default=10)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="generate a synthetic dataset instead of reading --folder")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from coloc_tpu.config import ColocConfig, DetectorOptions
+    from coloc_tpu.io import disk, synthetic
+    from coloc_tpu.session import ColocSession
+
+    if args.synthetic:
+        h, w = 240, 320
+        K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32)
+        Ks = np.stack([K] * args.drones)
+        dists = np.zeros((args.drones, 3), np.float32)
+        scene = synthetic.make_scene(h, w, K)
+        folder = args.folder or tempfile.mkdtemp(prefix="coloc_synth_")
+        n = args.frames or 20
+        print(f"generating {args.drones}x{n} synthetic frames in {folder}")
+        synthetic.write_dataset(folder, scene, args.drones, n)
+        args.folder = folder
+        size = (w, h)
+    else:
+        if not args.folder or not args.calib:
+            ap.error("--folder and --calib required (or use --synthetic)")
+        size, Ks, dists = disk.read_calib(args.calib, args.drones)
+
+    config = ColocConfig(
+        num_drones=args.drones,
+        model=args.model,
+        image_folder=args.folder,
+        detector=DetectorOptions(
+            width=size[0], height=size[1], max_keypoints=args.maxkp
+        ),
+    )
+    session = ColocSession(config, Ks, dists, out_dir=args.out)
+
+    n = args.frames or disk.num_frames(args.folder)
+    frames = {
+        d: [disk.load_frame(args.folder, d, f) for f in range(n)]
+        for d in range(args.drones)
+    }
+
+    t0 = time.time()
+    results = session.run(frames, inter_every=args.inter_every)
+    dt = time.time() - t0
+    n_done = sum(len(v) for v in results.values())
+    n_ok = sum(int(bool(p.success)) for v in results.values() for p in v)
+    print(
+        f"processed {n_done} frames in {dt:.1f}s "
+        f"({n_done / max(dt, 1e-9):.1f} fps), "
+        f"{n_ok}/{n_done} localized; logs in {args.out}/"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

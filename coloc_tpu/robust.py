@@ -79,6 +79,11 @@ def relative_pose_essential(
     keep = jnp.sum(inliers) >= res.n_inliers
     inliers = jnp.where(keep, inliers, res.inliers)
     n_inliers = jnp.sum(inliers.astype(jnp.int32))
+    # The Sampson objective is blind to the +-t / twisted-pair ambiguity, so
+    # from a poor seed the GN can land in the antipodal basin (all depths
+    # negative). Re-run the cheirality vote on the refined E to pick the
+    # physically-consistent motion (RelativePoseFromEssential semantics).
+    R, t = ess.decompose_essential(E_ref, x1, x2, inliers)
     return TwoViewGeometry(
         R=R, t=t, inliers=inliers,
         n_inliers=n_inliers, success=res.success,

@@ -1,0 +1,296 @@
+"""Collaborative-localization session orchestrator.
+
+Reference parity: coloc.hpp class ColoC —
+  mainThread (:96-148): bootstrap the map from the first frame pair
+    (initMap :151), then per-frame per-drone intra localization
+    (intraPoseEstimator :201) with periodic inter-drone relative pose +
+    fusion (interPoseEstimator :274) and map maintenance (updateMap :394).
+
+Execution shape: the host drives EVENTS (bootstrap, per-frame, inter-drone,
+map update) while all per-event math runs as the jitted device functions
+built in the other modules. Data-dependent *control* (did localization
+succeed? is the map degraded?) reads back scalar flags — everything tensor-
+shaped stays on device. Failure semantics follow the reference: localization
+failure logs identity pose + identity covariance and the KF coasts
+(coloc.hpp:246-257).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coloc_tpu import matching, robust, utils
+from coloc_tpu.config import ColocConfig
+from coloc_tpu.frontend import detect_and_describe
+from coloc_tpu.fusion import covint, kalman
+from coloc_tpu.geometry import camera as cam_ops
+from coloc_tpu.geometry import se3, so3
+from coloc_tpu.io import loggers
+from coloc_tpu.sfm import localize, reconstruct
+from coloc_tpu.types import Features, MapDB, Pose, PoseWithCov
+
+
+class ColocSession:
+    """One collaborative-localization session over N drones (class ColoC)."""
+
+    def __init__(
+        self,
+        config: ColocConfig,
+        Ks: np.ndarray,          # (D, 3, 3)
+        dists: np.ndarray,       # (D, 3)
+        out_dir: str = "",
+        seed: int = 0,
+    ):
+        self.config = config
+        self.cams = [
+            cam_ops.Camera(K=jnp.asarray(Ks[d]), dist=jnp.asarray(dists[d]))
+            for d in range(config.num_drones)
+        ]
+        self.Ks = jnp.asarray(Ks)
+        self.dists = jnp.asarray(dists)
+        self.filter_bank = kalman.init(config.num_drones, config.filter)
+        self.mapdb: Optional[MapDB] = None
+        self.scene: Optional[reconstruct.Scene] = None
+        self.map_ready = False
+        self.frame = 0
+        self.key = jax.random.PRNGKey(seed)
+        self.last_pose: Dict[int, PoseWithCov] = {}
+
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            self.pose_log = loggers.PoseLogger(os.path.join(out_dir, "poses.txt"))
+            self.filtered_log = loggers.PoseLogger(
+                os.path.join(out_dir, "poses_filtered.txt")
+            )
+            self.gate_log = loggers.GateLogger(
+                os.path.join(out_dir, "mahalanobis.txt")
+            )
+        else:
+            self.pose_log = self.filtered_log = self.gate_log = None
+
+    # ------------------------------------------------------------------ util
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def detect(self, image: np.ndarray) -> Features:
+        return detect_and_describe(jnp.asarray(image), self.config.detector)
+
+    def _relative_pose(self, key, uv1, uv2, mask, cam1, cam2):
+        model = self.config.model
+        if model == "E":
+            return robust.relative_pose_essential(
+                key, uv1, uv2, mask, cam1, cam2, self.config.ransac
+            )
+        if model == "F":
+            return robust.relative_pose_fundamental(
+                key, uv1, uv2, mask, cam1, cam2, self.config.ransac
+            )
+        if model == "H":
+            return robust.relative_pose_homography(
+                key, uv1, uv2, mask, cam1, cam2, self.config.ransac
+            )
+        raise ValueError(f"unknown geometric model {model!r}")
+
+    # -------------------------------------------------------------- init map
+    def init_map(self, images: Dict[int, np.ndarray]) -> bool:
+        """Bootstrap the shared map from one frame of drones 0 and 1
+        (ColoC::initMap, coloc.hpp:151-199)."""
+        cfg = self.config
+        f0 = self.detect(images[0])
+        f1 = self.detect(images[1])
+        m = matching.match_pair(f0, f1, cfg.matcher)
+        geo = self._relative_pose(
+            self._next_key(), f0.xy, f1.xy[m.idx], m.mask,
+            self.cams[0], self.cams[1],
+        )
+        if not bool(geo.success):
+            return False
+
+        scene = reconstruct.two_view_scene(
+            f0, f1, m, geo.inliers, geo.R, geo.t,
+            Pose(R=jnp.eye(3), C=jnp.zeros(3)), cfg.scale,
+            self.cams[0], self.cams[1], num_landmarks=cfg.max_landmarks,
+        )
+        scene, ba_res = reconstruct.refine_scene(
+            scene, self.Ks[:2], self.dists[:2], cfg.refiner,
+            fix_pose=jnp.asarray([True, False]),
+        )
+        if int(jnp.sum(scene.X_valid)) < 8:
+            return False
+        self.scene = scene
+        self.mapdb = reconstruct.scene_to_mapdb(scene)  # setupMapDatabase
+        self.map_ready = True
+        if self.out_dir:
+            loggers.write_ply(
+                os.path.join(self.out_dir, "map.ply"),
+                np.asarray(scene.X), np.asarray(scene.X_valid),
+                np.asarray(scene.Cs),
+            )
+        return True
+
+    # ------------------------------------------------------------ intra pose
+    def intra_pose(self, drone: int, image: np.ndarray) -> PoseWithCov:
+        """Per-frame map-based localization + KF (intraPoseEstimator,
+        coloc.hpp:201-271)."""
+        cfg = self.config
+        feats = self.detect(image)
+        mm = matching.match_with_map(feats, self.mapdb, cfg.matcher)
+        pwc, _inl = localize.localize_image(
+            self._next_key(), feats, mm, self.mapdb, self.cams[drone],
+            cfg.ransac, cfg.refiner,
+        )
+        euler = so3.rot_to_euler(pwc.pose.R)
+        if self.pose_log:
+            self.pose_log.log(
+                self.frame, drone, drone, np.asarray(pwc.pose.C),
+                np.asarray(pwc.cov), np.asarray(euler),
+                float(pwc.rmse), int(pwc.n_tracks),
+            )
+
+        z = kalman.fill_measurement(pwc.pose)
+        self.filter_bank, filtered, dist, rej = kalman.update(
+            self.filter_bank, jnp.int32(drone), z,
+            pwc.cov[3:6, 3:6], pwc.rmse, pwc.success, cfg.filter,
+        )
+        if self.gate_log:
+            self.gate_log.log(drone, float(dist))
+        if self.filtered_log:
+            P = np.asarray(self.filter_bank.P[drone])
+            cov6 = np.zeros((6, 6))
+            cov6[:3, :3] = P[3:6, 3:6]
+            cov6[3:6, 3:6] = P[:3, :3]
+            self.filtered_log.log(
+                self.frame, drone, drone, np.asarray(filtered.C), cov6,
+                np.asarray(so3.rot_to_euler(filtered.R)),
+                float(pwc.rmse), int(pwc.n_tracks),
+            )
+        result = PoseWithCov(
+            pose=filtered, cov=pwc.cov, rmse=pwc.rmse,
+            n_tracks=pwc.n_tracks, success=pwc.success,
+        )
+        self.last_pose[drone] = result
+        return result
+
+    # ------------------------------------------------------------ inter pose
+    def inter_pose(
+        self, src: int, dst: int, images: Dict[int, np.ndarray]
+    ) -> Optional[covint.FusionResult]:
+        """Inter-drone relative localization + ICI fusion
+        (interPoseEstimator, coloc.hpp:274-392)."""
+        cfg = self.config
+        f_src = self.detect(images[src])
+        f_dst = self.detect(images[dst])
+        m = matching.match_pair(f_src, f_dst, cfg.matcher)
+        geo = self._relative_pose(
+            self._next_key(), f_src.xy, f_dst.xy[m.idx], m.mask,
+            self.cams[src], self.cams[dst],
+        )
+        if not bool(geo.success):
+            return None
+
+        # temporary two-view scene (interReconstruct parity)
+        temp = reconstruct.two_view_scene(
+            f_src, f_dst, m, geo.inliers, geo.R, geo.t,
+            Pose(R=jnp.eye(3), C=jnp.zeros(3)), 1.0,
+            self.cams[src], self.cams[dst],
+            num_landmarks=cfg.max_landmarks,
+        )
+        temp_db = reconstruct.scene_to_mapdb(temp)  # setupMapDatabase(inter=1)
+
+        # map-to-map descriptor match + scale alignment
+        mm = matching.match_maps(self.mapdb, temp_db, cfg.matcher)
+        n_common = int(jnp.sum(mm.mask & self.mapdb.valid))
+        if n_common < 2:
+            return None
+        scale = utils.compute_scale_difference(self.mapdb, temp_db, mm)
+        Xs, Cs = utils.rescale_map(temp.X, temp.Cs, scale)
+        temp = temp._replace(X=Xs, Cs=Cs)
+
+        # pose-only refinement of the scaled relative pose -> covariance
+        idx = [src, dst] if src < len(self.cams) else [0, 1]
+        temp, ba_res = reconstruct.refine_scene(
+            temp, self.Ks[jnp.asarray(idx)], self.dists[jnp.asarray(idx)],
+            cfg.refiner, fix_pose=jnp.asarray([True, False]), cov_view=1,
+        )
+
+        # compose the fused dst-position candidate: src pose o relative pose
+        if src not in self.last_pose or dst not in self.last_pose:
+            return None
+        pose_src = self.last_pose[src]
+        pose_dst = self.last_pose[dst]
+        rel = Pose(R=temp.Rs[1], C=temp.Cs[1])  # dst in src-anchored frame
+        cand_C = pose_src.pose.C + pose_src.pose.R.T @ rel.C
+
+        # ICI fusion of dst's intra estimate with the src+relative candidate
+        C_intra = pose_dst.cov[3:6, 3:6] + 1e-6 * jnp.eye(3)
+        C_cand = (
+            pose_src.cov[3:6, 3:6] + ba_res.cov[3:6, 3:6] + 1e-6 * jnp.eye(3)
+        )
+        fused = covint.fuse(C_intra, C_cand, pose_dst.pose.C, cand_C)
+
+        if self.filtered_log:
+            self.filtered_log.log(
+                self.frame, dst, src, np.asarray(fused.pos),
+                np.asarray(
+                    jnp.zeros((6, 6)).at[3:6, 3:6].set(fused.cov)
+                ),
+                np.asarray(so3.rot_to_euler(pose_dst.pose.R)),
+                float(ba_res.rmse), int(geo.n_inliers),
+            )
+        return fused
+
+    # ------------------------------------------------------------ map update
+    def update_map(self, images: Dict[int, np.ndarray]) -> bool:
+        """Rebuild the map from the current frames and re-align scale
+        (ColoC::updateMap, coloc.hpp:394-459)."""
+        old_db = self.mapdb
+        ok = self.init_map(images)
+        if not ok or old_db is None:
+            return ok
+        mm = matching.match_maps(self.mapdb, old_db, self.config.matcher)
+        n_common = int(jnp.sum(mm.mask & self.mapdb.valid))
+        if n_common >= 2:
+            # scale of NEW map relative to OLD -> divide to match old scale
+            scale = utils.compute_scale_difference(self.mapdb, old_db, mm)
+            inv = 1.0 / jnp.maximum(scale, 1e-6)
+            X, Cs = utils.rescale_map(self.scene.X, self.scene.Cs, inv)
+            self.scene = self.scene._replace(X=X, Cs=Cs)
+            self.mapdb = reconstruct.scene_to_mapdb(self.scene)
+        return True
+
+    # ------------------------------------------------------------- main loop
+    def run(
+        self,
+        frames: Dict[int, list],       # drone -> list of images
+        inter_every: int = 10,
+        update_map_every: int = 0,
+    ) -> Dict[int, list]:
+        """mainThread parity (coloc.hpp:96-148). Returns per-drone pose lists."""
+        cfg = self.config
+        num_frames = min(len(v) for v in frames.values())
+        out = {d: [] for d in range(cfg.num_drones)}
+
+        f = 0
+        while not self.map_ready and f < num_frames:
+            self.init_map({d: frames[d][f] for d in range(cfg.num_drones)})
+            f += 1
+        if not self.map_ready:
+            return out
+
+        for frame_idx in range(f, num_frames):
+            self.frame = frame_idx
+            for d in range(cfg.num_drones):
+                out[d].append(self.intra_pose(d, frames[d][frame_idx]))
+            if inter_every and frame_idx % inter_every == 0 and cfg.num_drones >= 2:
+                self.inter_pose(0, 1, {d: frames[d][frame_idx] for d in range(cfg.num_drones)})
+            if update_map_every and frame_idx % update_map_every == 0:
+                self.update_map({d: frames[d][frame_idx] for d in range(cfg.num_drones)})
+        return out

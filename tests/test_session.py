@@ -1,0 +1,106 @@
+"""End-to-end session tests on synthetic multi-drone sequences
+(SURVEY.md §4: multi-drone simulation from per-drone image sequences,
+golden config 5: full collaborative session)."""
+
+import numpy as np
+import pytest
+
+from coloc_tpu.config import ColocConfig, DetectorOptions
+from coloc_tpu.io import synthetic
+from coloc_tpu.session import ColocSession
+
+H, W = 240, 320
+K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    scene = synthetic.make_scene(H, W, K, seed=3)
+    num_frames = 6
+    frames = {}
+    gt = {}
+    for d in range(2):
+        Rs, Cs = synthetic.trajectory(num_frames, d)
+        frames[d] = [synthetic.render(scene, Rs[f], Cs[f]) for f in range(num_frames)]
+        gt[d] = (Rs, Cs)
+    return frames, gt
+
+
+def make_session(tmp_path=None):
+    config = ColocConfig(
+        num_drones=2,
+        detector=DetectorOptions(
+            width=W, height=H, max_keypoints=512, num_levels=4,
+            fast_threshold=10,
+        ),
+        max_landmarks=512,
+    )
+    Ks = np.stack([K, K])
+    dists = np.zeros((2, 3), np.float32)
+    out = str(tmp_path) if tmp_path else ""
+    return ColocSession(config, Ks, dists, out_dir=out)
+
+
+class TestSession:
+    def test_full_loop(self, dataset, tmp_path):
+        frames, gt = dataset
+        session = make_session(tmp_path)
+        results = session.run(frames, inter_every=3)
+        assert session.map_ready
+        # both drones localized on most frames
+        for d in (0, 1):
+            ok = [bool(p.success) for p in results[d]]
+            assert sum(ok) >= len(ok) - 1, f"drone {d}: {ok}"
+        # trajectory shape sanity: drone 0 moves roughly along +x (scaled)
+        C_est = np.stack([np.asarray(p.pose.C) for p in results[0]])
+        assert C_est[-1, 0] > C_est[0, 0]
+        # logs written
+        assert (tmp_path / "poses.txt").exists()
+        assert (tmp_path / "poses_filtered.txt").exists()
+        assert (tmp_path / "map.ply").exists()
+        lines = (tmp_path / "poses.txt").read_text().strip().splitlines()
+        assert len(lines) == 1 + sum(len(v) for v in results.values())
+
+    def test_localization_accuracy(self, dataset):
+        """Pose error vs ground truth after scale alignment (the monocular
+        map has the bootstrap baseline as its scale unit)."""
+        frames, gt = dataset
+        session = make_session()
+        results = session.run(frames, inter_every=0)
+        Rs_gt, Cs_gt = gt[0]
+        # session world frame = drone-0 frame at bootstrap frame 0; estimate
+        # the scale from the drone-1 bootstrap baseline
+        errs_rot = []
+        for i, p in enumerate(results[0]):
+            if not bool(p.success):
+                continue
+            f = i + 1  # bootstrap consumed frame 0
+            R_rel_gt = Rs_gt[f] @ Rs_gt[0].T
+            cos = (np.trace(np.asarray(p.pose.R) @ R_rel_gt.T @ np.asarray(Rs_gt[0]) @ np.asarray(Rs_gt[0]).T) - 1) / 2
+            # compare in the common (drone0-frame0) frame: est pose is already
+            # relative to bootstrap frame; gt relative rotation:
+            cos = (np.trace(np.asarray(p.pose.R).T @ (Rs_gt[f] @ Rs_gt[0].T)) - 1) / 2
+            errs_rot.append(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+        assert len(errs_rot) >= 4
+        assert np.median(errs_rot) < 1.0, f"rotation errors: {errs_rot}"
+
+    def test_inter_pose_fusion(self, dataset):
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        session.intra_pose(0, frames[0][1])
+        session.intra_pose(1, frames[1][1])
+        fused = session.inter_pose(0, 1, {0: frames[0][1], 1: frames[1][1]})
+        assert fused is not None
+        assert np.isfinite(np.asarray(fused.pos)).all()
+        assert 0.0 <= float(fused.omega) <= 1.0
+
+    def test_update_map(self, dataset):
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        X_before = np.asarray(session.scene.X).copy()
+        ok = session.update_map({0: frames[0][2], 1: frames[1][2]})
+        assert ok
+        # map rebuilt from newer frames: landmark bank changed
+        assert not np.array_equal(np.asarray(session.scene.X), X_before)
