@@ -58,11 +58,10 @@ def detect_and_describe(image: jnp.ndarray, opts: DetectorOptions) -> Features:
     kp_l = cl[top_i]
     valid = top_s > 0
 
-    # --- orientation: dense moment maps per level, gathered at keypoints ----
-    angle_maps = orient_ops.orientation_maps(levels)
-    flat_a, bases, heights, widths = pyr_ops.flatten_pyramid(angle_maps)
-    kp_angle = pyr_ops.gather_bilinear_flat(
-        flat_a, bases, heights, widths, kp_l, kp_x, kp_y
+    # --- orientation: sparse weighted-centroid moments at keypoints ---------
+    flat_raw, rb, rh, rw = pyr_ops.flatten_pyramid(levels)
+    kp_angle = orient_ops.orientation_at_keypoints(
+        flat_raw, rb, rh, rw, kp_x, kp_y, kp_l
     )
 
     # --- description: steered triplets on the smoothed pyramid --------------

@@ -70,14 +70,28 @@ def _durand_kerner_quartic(coeffs: jnp.ndarray, iters: int = 40) -> jnp.ndarray:
     return x, is_real
 
 
+def _triad(p1, p2, p3):
+    """Orthonormal frame from 3 points (right-handed)."""
+    u1 = p2 - p1
+    u1 = u1 / (jnp.linalg.norm(u1) + 1e-12)
+    u2 = jnp.cross(u1, p3 - p1)
+    u2 = u2 / (jnp.linalg.norm(u2) + 1e-12)
+    u3 = jnp.cross(u1, u2)
+    return jnp.stack([u1, u2, u3], axis=1)  # (3, 3) columns
+
+
 def _horn_3pt(P: jnp.ndarray, X: jnp.ndarray) -> Pose:
-    """Rigid alignment world->camera from 3 point pairs: X_i = R (P_i - C)."""
-    Pc = P - jnp.mean(P, axis=0)
-    Xc = X - jnp.mean(X, axis=0)
-    H = Xc.T @ Pc
-    U, _, Vt = jnp.linalg.svd(H)
-    D = jnp.diag(jnp.array([1.0, 1.0, jnp.sign(jnp.linalg.det(U @ Vt))]))
-    R = U @ D @ Vt
+    """Rigid alignment world->camera from 3 point pairs: X_i = R (P_i - C).
+
+    Triad construction, no SVD: P3P distances satisfy the inter-point
+    distance constraints by construction, so the two 3-point clouds are
+    exactly congruent and R = triad(X) @ triad(P)^T is exact. (The SVD-based
+    Kabsch alignment costs ~1000 batched tiny SVDs per RANSAC call on TPU —
+    this is the hot path of absolute-pose RANSAC.)
+    """
+    A = _triad(P[0], P[1], P[2])
+    B = _triad(X[0], X[1], X[2])
+    R = B @ A.T
     C = jnp.mean(P, axis=0) - R.T @ jnp.mean(X, axis=0)
     return Pose(R=R, C=C)
 

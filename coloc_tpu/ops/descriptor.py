@@ -100,7 +100,10 @@ def describe(
     sy = kp_y[:, None] + ry
     lvl = jnp.broadcast_to(kp_level[:, None], sx.shape)
 
-    vals = pyr_ops.gather_bilinear_flat(
+    # nearest sampling: the pool reads a box-smoothed pyramid, so the <=0.5px
+    # rounding is well below the smoothing scale; costs 1 gather/sample vs
+    # bilinear's 4 (this is the frontend's hottest gather)
+    vals = pyr_ops.gather_nearest_flat(
         flat_smooth, bases, heights, widths,
         lvl.reshape(-1), sx.reshape(-1), sy.reshape(-1),
     ).reshape(K, POOL_SIZE)

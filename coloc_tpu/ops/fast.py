@@ -115,9 +115,17 @@ def nms3(score: jnp.ndarray) -> jnp.ndarray:
 
 
 def topk_keypoints(
-    score: jnp.ndarray, k: int, border: int = 0
+    score: jnp.ndarray, k: int, border: int = 0, exact: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Top-k peaks of a score map -> (x (k,), y (k,), score (k,), valid (k,))."""
+    """Top-k peaks of a score map -> (x (k,), y (k,), score (k,), valid (k,)).
+
+    Uses `jax.lax.approx_max_k` by default: exact `top_k` over an H*W score
+    map costs milliseconds per pyramid level on TPU (full sort network),
+    while approx_max_k uses the TPU-optimized partial-reduction path at ~10x
+    lower cost. Recall is ~0.95 at the default settings; losing a few
+    low-ranked keypoints is immaterial to the pipeline (they are thresholded
+    and NMS'd peaks, not ordered output). Set exact=True for bit-parity runs.
+    """
     h, w = score.shape
     if border > 0:
         yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -125,7 +133,10 @@ def topk_keypoints(
         inb = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
         score = jnp.where(inb, score, 0.0)
     flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, k)
+    if exact or flat.shape[0] <= 2 * k:
+        vals, idx = jax.lax.top_k(flat, k)
+    else:
+        vals, idx = jax.lax.approx_max_k(flat, k)
     y = (idx // w).astype(jnp.float32)
     x = (idx % w).astype(jnp.float32)
     valid = vals > 0

@@ -124,3 +124,22 @@ def gather_bilinear_flat(
         + v10 * (1 - fx) * fy
         + v11 * fx * fy
     )
+
+
+def gather_nearest_flat(
+    flat: jnp.ndarray,
+    bases: jnp.ndarray,
+    heights: jnp.ndarray,
+    widths: jnp.ndarray,
+    level: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+) -> jnp.ndarray:
+    """Nearest-neighbor sample from the flattened pyramid (1 gather per
+    sample vs bilinear's 4 — used where the source is already low-pass
+    filtered, e.g. descriptor sampling on the box-smoothed pyramid)."""
+    w = widths[level].astype(jnp.float32)
+    h = heights[level].astype(jnp.float32)
+    xi = jnp.clip(jnp.round(x), 0.0, w - 1.0).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(y), 0.0, h - 1.0).astype(jnp.int32)
+    return flat[bases[level] + yi * widths[level] + xi]
