@@ -15,10 +15,15 @@ masked score map (fixed capacity, SURVEY.md §7.1.2).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from coloc_tpu.ops.dispatch import use_pallas
 
 # Bresenham circle of radius 3, clockwise from 12 o'clock: (dy, dx)
 RING_OFFSETS = (
@@ -143,6 +148,142 @@ def topk_keypoints(
     return x, y, vals, valid
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel: FAST score + 3x3 NMS in one pass
+# ---------------------------------------------------------------------------
+#
+# The XLA path materializes a (16, H, W) ring stack plus ~8 cascade
+# intermediates per level — the jnp.roll along the 16-axis blocks fusion and
+# each intermediate round-trips HBM. The Pallas kernel processes (TH, TW)
+# output tiles from a VMEM-resident (TH+8, TW+8) input window: the 16 ring
+# "shifts" are static sub-slices of the window, the whole cascade stays in
+# vector registers, and only the NMS'd score tile is written back.
+
+_TH = 64    # output tile rows
+_TW = 128   # output tile cols (lanes: multiple of 128)
+_HALO = 4   # 3 (ring radius) + 1 (NMS neighborhood)
+
+
+def _fast_nms_kernel(img_hbm, thresh_ref, raw_ref, score_ref, win, sem):
+    # overlapping-window DMA: blocks overlap by 2*HALO, which BlockSpec's
+    # block-index addressing can't express — copy the window manually.
+    # Mosaic requires lane-dim slice shapes/offsets aligned to 128, so the
+    # window is TW+128 wide (halo plus aligned slack) at offset j*TW.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * _TH, _TH + 2 * _HALO),
+                   pl.ds(j * _TW, _TW + 128)],
+        win,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    t = thresh_ref[0]
+    # score needed on (TH+2, TW+2) so NMS has its 1-px neighborhood
+    sh, sw = _TH + 2, _TW + 2
+
+    img_ref = win
+    center = img_ref[3 : 3 + sh, 3 : 3 + sw]
+
+    ring = [
+        img_ref[3 + dy : 3 + dy + sh, 3 + dx : 3 + dx + sw]
+        for (dy, dx) in RING_OFFSETS
+    ]
+    dev = [r - center for r in ring]
+
+    def cascade(flags_or_vals, op):
+        def rot(lst, s):
+            return lst[s:] + lst[:s]
+        r2 = [op(a, b) for a, b in zip(flags_or_vals, rot(flags_or_vals, 1))]
+        r4 = [op(a, b) for a, b in zip(r2, rot(r2, 2))]
+        r8 = [op(a, b) for a, b in zip(r4, rot(r4, 4))]
+        return [op(a, b) for a, b in zip(r8, rot(flags_or_vals, 8))]
+
+    neg1 = jnp.float32(-1.0)
+
+    bright9 = cascade([d > t for d in dev], jnp.logical_and)
+    dark9 = cascade([(-d) > t for d in dev], jnp.logical_and)
+    bright_arc = cascade(dev, jnp.minimum)
+    dark_arc = cascade([-d for d in dev], jnp.minimum)
+
+    score = jnp.full((sh, sw), neg1)
+    for b9, d9, ba, da in zip(bright9, dark9, bright_arc, dark_arc):
+        score = jnp.maximum(score, jnp.where(b9, ba, neg1))
+        score = jnp.maximum(score, jnp.where(d9, da, neg1))
+    score = jnp.maximum(score, 0.0)
+
+    raw_ref[:, :] = score[1 : 1 + _TH, 1 : 1 + _TW]
+
+    # 3x3 NMS with earlier-raster tie-break, on the inner (TH, TW) block
+    def win(dy, dx):
+        return score[1 + dy : 1 + dy + _TH, 1 + dx : 1 + dx + _TW]
+
+    s0 = win(0, 0)
+    neigh_max = s0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) != (0, 0):
+                neigh_max = jnp.maximum(neigh_max, win(dy, dx))
+    earlier = jnp.maximum(
+        jnp.maximum(win(-1, -1), win(-1, 0)),
+        jnp.maximum(win(-1, 1), win(0, -1)),
+    )
+    keep = (s0 >= neigh_max) & (earlier < s0)
+    score_ref[:, :] = jnp.where(keep, s0, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_nms_pallas(image: jnp.ndarray, threshold, interpret: bool = False):
+    """Fused FAST-9 + NMS (Pallas) -> (raw score map, NMS'd score map).
+
+    The raw map feeds subpixel refinement; the NMS'd map feeds top-k. Border
+    semantics match nms3(fast_score_map(.)): edge-replicated ring sampling,
+    3-px border zeroed.
+    """
+    h, w = image.shape
+    hp = ((h + _TH - 1) // _TH) * _TH
+    wp = ((w + _TW - 1) // _TW) * _TW
+    padded = jnp.pad(
+        image,
+        ((_HALO, _HALO + hp - h), (_HALO, (128 - _HALO) + wp - w)),
+        mode="edge",
+    )
+    thresh = jnp.asarray([threshold], jnp.float32)
+
+    score = pl.pallas_call(
+        _fast_nms_kernel,
+        grid=(hp // _TH, wp // _TW),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TH, _TW), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TH, _TW), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TH + 2 * _HALO, _TW + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(padded, thresh)
+    raw, score = score
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    raw = jnp.where(inb, raw[:h, :w], 0.0)
+    score = jnp.where(inb, score[:h, :w], 0.0)
+    return raw, score
+
+
 def subpixel_refine(
     score: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -179,8 +320,16 @@ def subpixel_refine(
 def detect(
     image: jnp.ndarray, threshold: float, k: int, border: int = 0
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Full single-level FAST: score -> NMS -> top-k -> subpixel refine."""
-    score = fast_score_map(image, threshold)
-    x, y, s, v = topk_keypoints(nms3(score), k, border)
-    x, y = subpixel_refine(score, x, y)
+    """Full single-level FAST: score -> NMS -> top-k -> subpixel refine.
+
+    On TPU the fused Pallas kernel produces both the raw score map (for
+    subpixel refinement) and the NMS'd map (for top-k) in one pass.
+    """
+    if use_pallas():
+        score_raw, score_nms = fast_nms_pallas(image, threshold)
+    else:
+        score_raw = fast_score_map(image, threshold)
+        score_nms = nms3(score_raw)
+    x, y, s, v = topk_keypoints(score_nms, k, border)
+    x, y = subpixel_refine(score_raw, x, y)
     return x, y, s, v
