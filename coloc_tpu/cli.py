@@ -72,10 +72,23 @@ def main(argv=None):
     session = ColocSession(config, Ks, dists, out_dir=args.out)
 
     n = args.frames or disk.num_frames(args.folder)
-    frames = {
-        d: [disk.load_frame(args.folder, d, f) for f in range(n)]
-        for d in range(args.drones)
-    }
+    from coloc_tpu.io import native_loader
+
+    if native_loader.available():
+        # native C++ prefetching loader (PNG/PGM via zlib, decode overlaps
+        # device compute)
+        with native_loader.NativeLoader(
+            args.folder, args.drones, n, size[1], size[0]
+        ) as loader:
+            frames = {
+                d: [loader.get(d, f) for f in range(n)]
+                for d in range(args.drones)
+            }
+    else:
+        frames = {
+            d: [disk.load_frame(args.folder, d, f) for f in range(n)]
+            for d in range(args.drones)
+        }
 
     t0 = time.time()
     results = session.run(frames, inter_every=args.inter_every)
