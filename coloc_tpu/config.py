@@ -55,6 +55,7 @@ class RansacOptions:
 
     num_hypotheses: int = 256          # RANSAC iteration budget
     inlier_multiple: float = 2.5       # accept iff inliers >= 2.5 x minimal sample
+    scoring: str = "count"             # "count" (fixed thresh) | "nfa" (ACRANSAC)
     essential_threshold: float = 4.0   # px, symmetric epipolar distance
     p3p_threshold: float = 4.0         # px, reprojection
     homography_threshold: float = 4.0  # px, transfer error

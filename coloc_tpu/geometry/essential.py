@@ -97,6 +97,78 @@ def fundamental_8pt(x1: jnp.ndarray, x2: jnp.ndarray,
 fundamental_8pt_batch = jax.vmap(fundamental_8pt)
 
 
+def seven_point(x1: jnp.ndarray, x2: jnp.ndarray):
+    """7-point fundamental solver -> (3, 3, 3) candidates + (3,) valid.
+
+    Reference parity: OpenMVG SevenPointSolver used by the 'F' model
+    (RobustMatcher.hpp:134-150). The 2-dim null space of the 7x9 design
+    matrix gives F = F1 + lam*F2; det(F) = 0 is a cubic in lam solved in
+    closed form (Cardano, branch-free via trig/hyperbolic formulas evaluated
+    on all three roots and masked) — up to 3 real candidates per sample,
+    scored by the RANSAC harness like the 5-point solver's 10.
+    """
+    # Hartley normalization for f32 conditioning (pixel-coord inputs)
+    def normalize(x):
+        mean = jnp.mean(x, axis=0)
+        scale = jnp.sqrt(2.0) / (jnp.mean(jnp.linalg.norm(x - mean, axis=1)) + 1e-9)
+        T = jnp.array(
+            [[scale, 0.0, -scale * mean[0]],
+             [0.0, scale, -scale * mean[1]],
+             [0.0, 0.0, 1.0]]
+        )
+        return (x - mean) * scale, T
+
+    x1n, T1 = normalize(x1)
+    x2n, T2 = normalize(x2)
+
+    A = _epipolar_design_rows(x1n, x2n)  # (7, 9)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    F1 = Vt[7].reshape(3, 3)
+    F2 = Vt[8].reshape(3, 3)
+
+    # det(F1 + lam F2) = c0 + c1 lam + c2 lam^2 + c3 lam^3 via 4-point
+    # polynomial interpolation (exact for a cubic, no symbolic expansion)
+    ts = jnp.array([0.0, 1.0, -1.0, 2.0])
+    ds = jax.vmap(lambda t: jnp.linalg.det(F1 + t * F2))(ts)
+    # Vandermonde solve for the cubic coefficients
+    V = jnp.stack([ts ** 0, ts, ts ** 2, ts ** 3], axis=1)
+    c = jnp.linalg.solve(V, ds)  # (4,) ascending
+
+    c3 = jnp.where(jnp.abs(c[3]) < 1e-12, 1e-12, c[3])
+    a, b_, cc = c[2] / c3, c[1] / c3, c[0] / c3
+    # depressed cubic t^3 + p t + q, lam = t - a/3
+    p = b_ - a * a / 3.0
+    q = 2.0 * a ** 3 / 27.0 - a * b_ / 3.0 + cc
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+
+    # three-real-root branch (disc <= 0): trigonometric form
+    m = 2.0 * jnp.sqrt(jnp.maximum(-p / 3.0, 1e-12))
+    arg = jnp.clip(3.0 * q / (p * m + 1e-12), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    k = jnp.arange(3).astype(jnp.float32)
+    t_trig = m * jnp.cos(theta - 2.0 * jnp.pi * k / 3.0)
+
+    # one-real-root branch (disc > 0): Cardano
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    cbrt = lambda v: jnp.sign(v) * jnp.abs(v) ** (1.0 / 3.0)
+    t_card = cbrt(-q / 2.0 + sq) + cbrt(-q / 2.0 - sq)
+
+    three_real = disc <= 0
+    t_roots = jnp.where(three_real, t_trig, jnp.stack([t_card] * 3))
+    valid = jnp.where(
+        three_real, jnp.ones(3, bool),
+        jnp.array([True, False, False]),
+    )
+    lams = t_roots - a / 3.0
+
+    def build(lam):
+        F = T2.T @ (F1 + lam * F2) @ T1  # denormalize
+        return F / (jnp.linalg.norm(F) + 1e-12)
+
+    Fs = jax.vmap(build)(lams)
+    return Fs, valid
+
+
 def symmetric_epipolar_distance_sq(
     E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray
 ) -> jnp.ndarray:

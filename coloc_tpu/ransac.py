@@ -33,6 +33,58 @@ class RansacResult(NamedTuple):
     success: jnp.ndarray    # () bool
 
 
+def nfa_scores(
+    res_sq: jnp.ndarray,     # (Hm, M) squared residuals per model
+    valid: jnp.ndarray,      # (M,) bool correspondence validity
+    sample_size: int,
+    log_alpha0: float,       # log10 of the background-probability constant
+    error_dim: float = 1.0,  # 1 = point-to-line (epipolar), 2 = point error
+    max_threshold_sq: float = jnp.inf,
+):
+    """Batched a-contrario NFA scoring (OpenMVG ACRANSAC semantics).
+
+    For each model: sort residuals ascending; over every candidate inlier
+    count k in (S, n]:
+      log10 NFA(k) = log10(n-S) + logC(n,k) + logC(k,S)
+                     + (k-S) * (log_alpha0 + dim * log10(e_k))
+    where e_k is the k-th smallest residual (not squared). The model's score
+    is min_k logNFA; the adaptive inlier threshold is e_{k*} at the argmin.
+    A model is meaningful iff its score < 0 (epsilon = 1).
+
+    Returns (score (Hm,), threshold_sq (Hm,)) — per-model adaptive thresholds.
+    """
+    Hm, M = res_sq.shape
+    S = sample_size
+    n = jnp.sum(valid.astype(jnp.int32))
+
+    masked = jnp.where(valid[None, :], res_sq, jnp.inf)
+    masked = jnp.where(masked <= max_threshold_sq, masked, jnp.inf)
+    sorted_sq = jnp.sort(masked, axis=1)                     # (Hm, M)
+
+    ks = jnp.arange(1, M + 1, dtype=jnp.float32)             # k = rank
+    # log10 binomials via lgamma (natural log -> log10)
+    ln10 = jnp.log(10.0)
+    lgam = jax.scipy.special.gammaln
+    nf = n.astype(jnp.float32)
+    logC_n_k = (lgam(nf + 1) - lgam(ks + 1) - lgam(jnp.maximum(nf - ks + 1, 1.0))) / ln10
+    logC_k_S = (lgam(ks + 1) - lgam(float(S) + 1) - lgam(jnp.maximum(ks - S + 1, 1.0))) / ln10
+
+    log_e = 0.5 * jnp.log10(jnp.maximum(sorted_sq, 1e-20))   # log10 e_k
+    log_nfa = (
+        jnp.log10(jnp.maximum(nf - S, 1.0))
+        + logC_n_k[None, :]
+        + logC_k_S[None, :]
+        + (ks[None, :] - S) * (log_alpha0 + error_dim * log_e)
+    )
+    k_ok = (ks[None, :] > S) & (ks[None, :] <= nf) & jnp.isfinite(sorted_sq)
+    log_nfa = jnp.where(k_ok, log_nfa, jnp.inf)
+
+    best_k = jnp.argmin(log_nfa, axis=1)                     # (Hm,)
+    score = jnp.take_along_axis(log_nfa, best_k[:, None], axis=1)[:, 0]
+    thr_sq = jnp.take_along_axis(sorted_sq, best_k[:, None], axis=1)[:, 0]
+    return score, thr_sq
+
+
 def sample_indices(
     key: jax.Array, valid: jnp.ndarray, num_samples: int, sample_size: int
 ) -> jnp.ndarray:
@@ -60,6 +112,9 @@ def ransac(
     num_hypotheses: int,
     threshold_sq: float,
     inlier_multiple: float = 2.5,
+    scoring: str = "count",   # "count" (fixed threshold) | "nfa" (ACRANSAC)
+    log_alpha0: float = 0.0,  # only for scoring="nfa"
+    error_dim: float = 1.0,   # only for scoring="nfa"
 ) -> RansacResult:
     """Generic batched RANSAC.
 
@@ -67,6 +122,11 @@ def ransac(
       (models, valid) where models is a pytree with leading axis H (candidate
       models per sample, H>=1) and valid is (H,) bool.
     scorer: takes one model pytree + full data, returns squared residuals (M,).
+
+    scoring="count" ranks models by inliers under the fixed threshold;
+    scoring="nfa" ranks by a-contrario NFA with a per-model ADAPTIVE
+    threshold (OpenMVG ACRANSAC parity; `threshold_sq` then acts as the
+    maximum admissible threshold).
     """
     M = valid.shape[0]
     idx = sample_indices(key, valid, num_hypotheses, sample_size)  # (B, S)
@@ -78,6 +138,24 @@ def ransac(
         lambda a: a.reshape((-1,) + a.shape[2:]), models
     )
     flat_valid = model_valid.reshape(-1)  # (B*H,)
+
+    if scoring == "nfa":
+        all_res = jax.vmap(lambda m: scorer(m, *data))(flat_models)  # (Hm, M)
+        score, thr = nfa_scores(
+            all_res, valid, sample_size, log_alpha0, error_dim,
+            max_threshold_sq=threshold_sq,
+        )
+        score = jnp.where(flat_valid, score, jnp.inf)
+        best = jnp.argmin(score)
+        best_model = jax.tree_util.tree_map(lambda a: a[best], flat_models)
+        res = scorer(best_model, *data)
+        inliers = (res <= thr[best]) & valid
+        n_inl = jnp.sum(inliers.astype(jnp.int32))
+        meaningful = score[best] < 0.0  # NFA < 1
+        success = meaningful & (n_inl >= jnp.int32(inlier_multiple * sample_size))
+        return RansacResult(
+            model=best_model, inliers=inliers, n_inliers=n_inl, success=success
+        )
 
     def score_one(model):
         res = scorer(model, *data)  # (M,)

@@ -34,6 +34,24 @@ def _mean_focal(cam: cam_ops.Camera) -> jnp.ndarray:
     return (cam.fx + cam.fy) * 0.5
 
 
+def _epipolar_log_alpha0(cam: cam_ops.Camera) -> jnp.ndarray:
+    """log10 background probability constant for point-to-LINE error in
+    normalized coords: alpha_k = (2 D / A) e_k with D = image diagonal and
+    A = image area, both in normalized units (ACRANSAC epipolar model)."""
+    f = _mean_focal(cam)
+    wn = 2.0 * cam.cx / f
+    hn = 2.0 * cam.cy / f
+    A = wn * hn
+    D = jnp.sqrt(wn * wn + hn * hn)
+    return jnp.log10(2.0 * D / A)
+
+
+def _point_log_alpha0(cam: cam_ops.Camera) -> jnp.ndarray:
+    """log10 constant for POINT error in pixels: alpha_k = (pi / A) e_k^2."""
+    A = (2.0 * cam.cx) * (2.0 * cam.cy)
+    return jnp.log10(jnp.pi / A)
+
+
 @functools.partial(jax.jit, static_argnames=("opts",))
 def relative_pose_essential(
     key: jax.Array,
@@ -66,6 +84,8 @@ def relative_pose_essential(
         key, (x1, x2), mask, solver, scorer,
         sample_size=5, num_hypotheses=opts.num_hypotheses,
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
+        scoring=opts.scoring, log_alpha0=_epipolar_log_alpha0(cam1),
+        error_dim=1.0,
     )
 
     R, t = ess.decompose_essential(res.model, x1, x2, res.inliers)
@@ -100,21 +120,20 @@ def relative_pose_fundamental(
     cam2: cam_ops.Camera,
     opts: RansacOptions,
 ) -> TwoViewGeometry:
-    """Model 'F' path: fundamental RANSAC on pixel coords, then E = K2^T F K1
-    and the same decomposition (RobustMatcher.hpp:134-150 semantics)."""
+    """Model 'F' path: 7-point fundamental RANSAC on pixel coords, then
+    E = K2^T F K1 and the same decomposition (RobustMatcher.hpp:134-150)."""
     u1 = cam_ops.undistort_pixel(cam1, uv1)
     u2 = cam_ops.undistort_pixel(cam2, uv2)
 
     def solver(s1, s2):
-        F = ess.fundamental_8pt(s1, s2)
-        return F[None], jnp.ones((1,), bool)
+        return ess.seven_point(s1, s2)  # (3, 3, 3), (3,)
 
     def scorer(F, a1, a2):
         return ess.symmetric_epipolar_distance_sq(F, a1, a2)
 
     res = ransac(
         key, (u1, u2), mask, solver, scorer,
-        sample_size=8, num_hypotheses=opts.num_hypotheses,
+        sample_size=7, num_hypotheses=opts.num_hypotheses,
         threshold_sq=opts.essential_threshold ** 2,
         inlier_multiple=opts.inlier_multiple,
     )
@@ -179,6 +198,8 @@ def absolute_pose_p3p(
         sample_size=3, num_hypotheses=opts.num_hypotheses,
         threshold_sq=opts.p3p_threshold ** 2,
         inlier_multiple=opts.inlier_multiple,
+        scoring=opts.scoring, log_alpha0=_point_log_alpha0(cam),
+        error_dim=2.0,
     )
     pose = Pose(R=res.model[:9].reshape(3, 3), C=res.model[9:])
     return pose, res.inliers, res.n_inliers, res.success
