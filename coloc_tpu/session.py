@@ -101,11 +101,45 @@ class ColocSession:
 
     # -------------------------------------------------------------- init map
     def init_map(self, images: Dict[int, np.ndarray]) -> bool:
-        """Bootstrap the shared map from one frame of drones 0 and 1
-        (ColoC::initMap, coloc.hpp:151-199)."""
+        """Bootstrap the shared map from one frame of every drone
+        (ColoC::initMap, coloc.hpp:151-199). Two drones use the two-view
+        bootstrap; more drones run the full incremental reconstruction
+        (seed pair + P3P resection, reconstructScene parity)."""
         cfg = self.config
-        f0 = self.detect(images[0])
-        f1 = self.detect(images[1])
+        feats = {d: self.detect(images[d]) for d in range(cfg.num_drones)}
+
+        if cfg.num_drones > 2:
+            pair_matches, pair_geo = {}, {}
+            for (a, b) in utils.exhaustive_pairs(cfg.num_drones):
+                m = matching.match_pair(feats[a], feats[b], cfg.matcher)
+                geo = self._relative_pose(
+                    self._next_key(), feats[a].xy, feats[b].xy[m.idx],
+                    m.mask, self.cams[a], self.cams[b],
+                )
+                if bool(geo.success):
+                    pair_matches[(a, b)] = m
+                    pair_geo[(a, b)] = geo
+            if not pair_geo:
+                return False
+            scene, ba_res = reconstruct.reconstruct_scene(
+                self._next_key(), [feats[d] for d in range(cfg.num_drones)],
+                pair_matches, pair_geo, self.cams, self.Ks, self.dists,
+                cfg.scale, cfg.max_landmarks, cfg.refiner, cfg.ransac,
+            )
+            if int(jnp.sum(scene.X_valid)) < 8:
+                return False
+            self.scene = scene
+            self.mapdb = reconstruct.scene_to_mapdb(scene)
+            self.map_ready = True
+            if self.out_dir:
+                loggers.write_ply(
+                    os.path.join(self.out_dir, "map.ply"),
+                    np.asarray(scene.X), np.asarray(scene.X_valid),
+                    np.asarray(scene.Cs),
+                )
+            return True
+
+        f0, f1 = feats[0], feats[1]
         m = matching.match_pair(f0, f1, cfg.matcher)
         geo = self._relative_pose(
             self._next_key(), f0.xy, f1.xy[m.idx], m.mask,

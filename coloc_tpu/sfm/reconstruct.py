@@ -151,6 +151,193 @@ def scene_to_mapdb(scene: Scene) -> MapDB:
     return MapDB(X=scene.X, desc=scene.desc, valid=scene.X_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_landmarks",))
+def triangulate_new_landmarks(
+    scene: Scene,
+    feats_i: Features,        # seed view (landmark-slot keyed)
+    feats_v: Features,        # newly posed view
+    matches_iv: Matches,      # seed -> new view matches
+    inliers: jnp.ndarray,     # robust inlier mask over matches
+    view_i: int,
+    view_slot: jnp.ndarray,   # () int32 row of the new view
+    pose_v: Pose,
+    cam_i: cam_ops.Camera,
+    cam_v: cam_ops.Camera,
+    num_landmarks: int,
+) -> Scene:
+    """Triangulate (seed, new-view) matches into currently-EMPTY landmark
+    slots (resectionCamera's new-point triangulation, Reconstructor.hpp:
+    354-412: ray angle > 2 deg, positive depths, |Z| < 1000 gates).
+
+    Landmark slots are keyed by seed-view feature index, so a match at seed
+    feature q fills slot q iff that slot is still invalid.
+    """
+    L = num_landmarks
+    pose_i = Pose(R=scene.Rs[view_i], C=scene.Cs[view_i])
+
+    uv_i = feats_i.xy
+    uv_v = feats_v.xy[matches_iv.idx]
+    x_i = cam_ops.undistort(cam_i, cam_ops.normalize(cam_i, uv_i))
+    x_v = cam_ops.undistort(cam_v, cam_ops.normalize(cam_v, uv_v))
+    X = tri.triangulate_points(pose_i.R, pose_i.C, x_i, pose_v.R, pose_v.C, x_v)
+
+    d_i = tri.depth_in_view(pose_i.R, pose_i.C, X)
+    d_v = tri.depth_in_view(pose_v.R, pose_v.C, X)
+    ang = tri.ray_angle_deg(pose_i.C, pose_v.C, X)
+    gates = (
+        (d_i > 0.0) & (d_v > 0.0)
+        & (ang > _MIN_RAY_ANGLE_DEG)
+        & (jnp.abs(X[:, 2]) < _MAX_Z_RESECTION)
+    )
+    ok = matches_iv.mask & inliers & feats_i.valid & gates
+
+    def fit(a):
+        return a[:L] if a.shape[0] >= L else jnp.pad(
+            a, ((0, L - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+        )
+
+    ok = fit(ok) & ~scene.X_valid  # only fill EMPTY slots
+    Xl = jnp.where(ok[:, None], fit(X), scene.X)
+    X_valid = scene.X_valid | ok
+
+    obs_i = jnp.where(ok[:, None], fit(uv_i), scene.obs[view_i])
+    obs_v_new = jnp.where(ok[:, None], fit(uv_v), scene.obs[view_slot])
+    obs = scene.obs.at[view_i].set(obs_i).at[view_slot].set(obs_v_new)
+    obs_mask = (
+        scene.obs_mask
+        .at[view_i].set(scene.obs_mask[view_i] | ok)
+        .at[view_slot].set(scene.obs_mask[view_slot] | ok)
+    )
+    desc = jnp.where(ok[:, None], fit(feats_i.desc), scene.desc)
+    return scene._replace(X=Xl, X_valid=X_valid, obs=obs, obs_mask=obs_mask,
+                          desc=desc)
+
+
+def invert_matches(m: Matches, capacity_train: int) -> Matches:
+    """Flip match direction: train-indexed view of a query->train mapping."""
+    q = jnp.arange(m.idx.shape[0], dtype=jnp.int32)
+    safe = jnp.where(m.mask, m.idx, capacity_train - 1)
+    inv = jnp.full((capacity_train,), -1, jnp.int32).at[safe].set(
+        jnp.where(m.mask, q, -1)
+    )
+    pad = capacity_train - m.best.shape[0]
+    def fit(a):
+        return jnp.pad(a, (0, max(pad, 0)))[:capacity_train]
+    return Matches(idx=inv, best=fit(m.best), second=fit(m.second))
+
+
+def reconstruct_scene(
+    key,
+    features: list,            # V Features banks
+    pair_matches: dict,        # (i, j) -> Matches
+    pair_geo: dict,            # (i, j) -> TwoViewGeometry
+    cams: list,                # V Camera
+    Ks: jnp.ndarray,           # (V, 3, 3)
+    dists: jnp.ndarray,        # (V, 3)
+    scale: float,
+    num_landmarks: int,
+    refiner_opts,
+    ransac_opts,
+) -> Tuple[Scene, "BAResult"]:
+    """Full multi-view incremental reconstruction (reconstructScene parity,
+    Reconstructor.hpp:102-164).
+
+    Host-orchestrated events over jitted device steps:
+      1. seed pair = argmax geometric-inlier count (:112-118)
+      2. two-view triangulation with world origin at the seed-first view and
+         the relative translation scaled by `scale` (:185-239)
+      3. every remaining view: P3P resection from seed-keyed 2D-3D
+         correspondences + observation extension + new-landmark triangulation
+         with the resection gates (:259-415)
+      4. final bundle adjustment (:150-161)
+    """
+    import jax as _jax
+
+    from coloc_tpu.robust import absolute_pose_p3p
+
+    V = len(features)
+    # 1. seed pair
+    seed = max(pair_geo, key=lambda p: int(pair_geo[p].n_inliers))
+    i, j = seed
+    geo = pair_geo[seed]
+
+    # 2. bootstrap (scene view rows: row 0 = view i, row 1 = view j, then
+    # remaining views in index order)
+    order = [i, j] + [v for v in range(V) if v not in (i, j)]
+    row_of = {v: r for r, v in enumerate(order)}
+
+    two = two_view_scene(
+        features[i], features[j], pair_matches[seed], geo.inliers,
+        geo.R, geo.t, Pose(R=jnp.eye(3), C=jnp.zeros(3)), scale,
+        cams[i], cams[j], num_landmarks=num_landmarks,
+    )
+    # widen to V view rows
+    scene = Scene(
+        Rs=jnp.concatenate([two.Rs, jnp.tile(jnp.eye(3)[None], (V - 2, 1, 1))]),
+        Cs=jnp.concatenate([two.Cs, jnp.zeros((V - 2, 3))]),
+        X=two.X, X_valid=two.X_valid,
+        obs=jnp.concatenate([two.obs, jnp.zeros((V - 2,) + two.obs.shape[1:])]),
+        obs_mask=jnp.concatenate(
+            [two.obs_mask, jnp.zeros((V - 2,) + two.obs_mask.shape[1:], bool)]
+        ),
+        desc=two.desc,
+    )
+
+    # 3. resect remaining views from seed-keyed correspondences
+    for v in order[2:]:
+        if (i, v) in pair_matches:
+            m_iv = pair_matches[(i, v)]
+        elif (v, i) in pair_matches:
+            m_iv = invert_matches(pair_matches[(v, i)], features[i].capacity)
+        else:
+            continue
+        # 2D-3D: landmark slot = seed feature index (track through the seed)
+        lm_idx = jnp.arange(features[i].capacity)
+        lm_ok = m_iv.mask & scene.X_valid[: features[i].capacity]
+        X_corr = scene.X[lm_idx]
+        uv_corr = features[v].xy[m_iv.idx]
+        key, sub = _jax.random.split(key)
+        pose_v, inl, n_inl, success = absolute_pose_p3p(
+            sub, X_corr, uv_corr, lm_ok, cams[v], ransac_opts
+        )
+        if not bool(success):
+            continue
+        # matches_iv maps seed-q -> v-feature; build a Matches whose idx maps
+        # landmark slot (= q) to the v feature for observation scatter
+        obs_matches = Matches(
+            idx=jnp.arange(features[i].capacity, dtype=jnp.int32),
+            best=m_iv.best, second=m_iv.second,
+        )
+        scene = resect_and_extend(
+            scene,
+            feats_new=features[v]._replace(
+                xy=features[v].xy[m_iv.idx],
+                valid=features[v].valid[m_iv.idx] & m_iv.mask,
+            ),
+            map_matches=obs_matches._replace(
+                idx=jnp.where(lm_ok & inl, obs_matches.idx, -1)
+            ),
+            pose_new=pose_v,
+            pose_inliers=inl,
+            cam_new=cams[v],
+            view_slot=jnp.int32(row_of[v]),
+        )
+        scene = triangulate_new_landmarks(
+            scene, features[i], features[v], m_iv, inl, 0,
+            jnp.int32(row_of[v]), pose_v, cams[i], cams[v],
+            num_landmarks=num_landmarks,
+        )
+
+    # 4. final BA (first pose fixed)
+    order_idx = jnp.asarray(order)
+    fix = jnp.asarray([True] + [False] * (V - 1))
+    scene, res = refine_scene(
+        scene, Ks[order_idx], dists[order_idx], refiner_opts, fix,
+        cov_view=1,
+    )
+    return scene, res
+
+
 @functools.partial(jax.jit, static_argnames=())
 def resect_and_extend(
     scene: Scene,

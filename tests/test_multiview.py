@@ -1,0 +1,107 @@
+"""Multi-view incremental reconstruction tests (reconstructScene parity:
+seed pair + P3P resection + new-landmark triangulation + final BA —
+BASELINE config 5's reconstruction core)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coloc_tpu.config import RansacOptions, RefinerOptions
+from coloc_tpu.geometry import camera as cam_ops
+from coloc_tpu.geometry import so3
+from coloc_tpu.robust import relative_pose_essential
+from coloc_tpu.sfm import reconstruct
+from coloc_tpu.types import Matches, TwoViewGeometry, empty_features
+
+K = jnp.asarray([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]], jnp.float32)
+CAM = cam_ops.Camera(K=K, dist=jnp.zeros(3, jnp.float32))
+
+
+def make_multiview(rng, V=4, n=256):
+    """V views of a 3D point cloud with perfect correspondences keyed to
+    view-0 feature order (plus per-view visibility dropout)."""
+    Rs = [jnp.eye(3)]
+    Cs = [jnp.zeros(3)]
+    for v in range(1, V):
+        Rs.append(jnp.asarray(so3.exp(jnp.asarray(
+            [0.02 * v, -0.12 * v, 0.01 * v], jnp.float32))))
+        Cs.append(jnp.asarray([0.8 * v, 0.1 * v, 0.05 * v], jnp.float32))
+    X = jnp.asarray(
+        np.c_[rng.uniform(-4, 4, (n, 2)), rng.uniform(6, 16, (n, 1))],
+        jnp.float32,
+    )
+    feats, vis = [], []
+    for v in range(V):
+        uv = cam_ops.project(CAM, Rs[v], Cs[v], X)
+        visible = jnp.asarray(rng.random(n) > 0.15)
+        feats.append(empty_features(n)._replace(xy=uv, valid=visible))
+        vis.append(visible)
+    # pairwise identity matches masked by joint visibility
+    pair_matches = {}
+    for a in range(V):
+        for b in range(a + 1, V):
+            mask = vis[a] & vis[b]
+            pair_matches[(a, b)] = Matches(
+                idx=jnp.where(mask, jnp.arange(n, dtype=jnp.int32), -1),
+                best=jnp.zeros(n, jnp.int32),
+                second=jnp.full((n,), 100, jnp.int32),
+            )
+    return feats, pair_matches, Rs, Cs, X
+
+
+class TestMultiViewReconstruction:
+    def test_four_view_scene(self, rng):
+        V = 4
+        feats, pair_matches, Rs, Cs, X = make_multiview(rng, V=V)
+        # robust two-view geometry for every pair
+        pair_geo = {}
+        for (a, b), m in pair_matches.items():
+            geo = relative_pose_essential(
+                jax.random.PRNGKey(a * 10 + b), feats[a].xy,
+                feats[b].xy[m.idx], m.mask, CAM, CAM, RansacOptions(),
+            )
+            pair_geo[(a, b)] = geo
+
+        scale = float(jnp.linalg.norm(Cs[1]))  # seed likely (0,1); see below
+        seed = max(pair_geo, key=lambda p: int(pair_geo[p].n_inliers))
+        i, j = seed
+        rel_gt_C = jnp.asarray(Rs[i]) @ (Cs[j] - Cs[i])
+        scale = float(jnp.linalg.norm(rel_gt_C))
+
+        cams = [CAM] * V
+        Ks = jnp.tile(K[None], (V, 1, 1))
+        dists = jnp.zeros((V, 3))
+        scene, res = reconstruct.reconstruct_scene(
+            jax.random.PRNGKey(0), feats, pair_matches, pair_geo, cams,
+            Ks, dists, scale, num_landmarks=256,
+            refiner_opts=RefinerOptions(max_iterations=20),
+            ransac_opts=RansacOptions(),
+        )
+        assert float(res.rmse) < 0.5
+        # all V poses resected: compare each view's pose against GT expressed
+        # in the seed-i frame
+        order = [i, j] + [v for v in range(V) if v not in (i, j)]
+        Ri = jnp.asarray(Rs[i])
+        Ci = jnp.asarray(Cs[i])
+        for r, v in enumerate(order):
+            R_gt = jnp.asarray(Rs[v]) @ Ri.T
+            C_gt = Ri @ (jnp.asarray(Cs[v]) - Ci)
+            cos = (np.trace(np.asarray(scene.Rs[r]).T @ np.asarray(R_gt)) - 1) / 2
+            assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 1.0, f"view {v}"
+            assert np.linalg.norm(np.asarray(scene.Cs[r]) - np.asarray(C_gt)) < 0.15, f"view {v}"
+        # structure: landmarks match GT in the seed frame
+        X_gt = (X - Ci) @ Ri.T
+        inl = np.asarray(scene.X_valid)
+        err = np.linalg.norm(np.asarray(scene.X) - np.asarray(X_gt), axis=1)[inl]
+        assert np.median(err) < 0.1
+        assert inl.sum() > 150
+
+    def test_invert_matches(self):
+        m = Matches(
+            idx=jnp.asarray([2, -1, 0], jnp.int32),
+            best=jnp.zeros(3, jnp.int32),
+            second=jnp.zeros(3, jnp.int32),
+        )
+        inv = reconstruct.invert_matches(m, 4)
+        np.testing.assert_array_equal(np.asarray(inv.idx), [2, -1, 0, -1])
