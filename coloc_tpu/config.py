@@ -32,6 +32,7 @@ class DetectorOptions:
     descriptor_bits: int = 512         # CLATCH-equivalent 512-bit binary descriptor
     smoothing_radius: int = 2          # box pre-smooth for triplet sampling
     border: int = 32                   # keep-out border so descriptor windows stay in-bounds
+    backend: str = "trip"              # "trip" (KORAL-equivalent) | "akaze" (AKAZE-MLDB parity)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,9 +29,22 @@ from coloc_tpu.types import Features
 _DETECT_BORDER = 8  # level-local keep-out so the 7x7 orientation window fits
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
 def detect_and_describe(image: jnp.ndarray, opts: DetectorOptions) -> Features:
-    """image (H, W) uint8/float32 grayscale -> Features (fixed capacity)."""
+    """image (H, W) uint8/float32 grayscale -> Features (fixed capacity).
+
+    Backend dispatch (replacing the reference's #ifdef USE_CUDA template
+    policy, FeatureDetector.hpp): "trip" = the KORAL-equivalent FAST+TRIP-512
+    path below; "akaze" = the AKAZE-MLDB parity path (coloc_tpu/akaze.py).
+    """
+    if opts.backend == "akaze":
+        from coloc_tpu.akaze import detect_and_describe_akaze
+
+        return detect_and_describe_akaze(image, opts)
+    return _detect_and_describe_trip(image, opts)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _detect_and_describe_trip(image: jnp.ndarray, opts: DetectorOptions) -> Features:
     image = image.astype(jnp.float32)
     k = opts.max_keypoints
 

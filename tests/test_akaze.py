@@ -1,0 +1,98 @@
+"""AKAZE-MLDB parity path tests (reference CPU backend: CPUDetector.hpp +
+AKAZE.hpp): diffusion scale space, detection, orientation, MLDB matching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coloc_tpu.config import DetectorOptions, MatcherOptions
+from coloc_tpu.frontend import detect_and_describe
+from coloc_tpu.matching import match_pair
+from coloc_tpu.ops import diffusion
+from coloc_tpu.io import synthetic
+
+H, W = 240, 320
+K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32)
+OPTS = DetectorOptions(width=W, height=H, max_keypoints=512, num_levels=8,
+                       backend="akaze")
+
+
+@pytest.fixture(scope="module")
+def img():
+    scene = synthetic.make_scene(H, W, K, seed=3)
+    return synthetic.render(scene, np.eye(3, dtype=np.float32),
+                            np.zeros(3, np.float32))
+
+
+class TestDiffusion:
+    def test_fed_cycle_sums_to_time(self):
+        for T in (0.5, 3.0, 20.0):
+            taus = diffusion.fed_tau_cycle(T)
+            assert abs(sum(taus) - T) < 1e-9
+            assert all(t > 0 for t in taus)
+
+    def test_diffusion_preserves_mean_and_smooths(self, img):
+        sp = diffusion.build_scale_space(jnp.asarray(img), num_octaves=2,
+                                         num_sublevels=2)
+        base = np.asarray(sp[0].L)
+        later = np.asarray(sp[-2].L)  # same octave? take level before downsample
+        # diffusion is conservative (flux form): mean approximately preserved
+        assert abs(base.mean() - np.asarray(sp[1].L).mean()) < 1e-3
+        # and smooths: total variation decreases within the octave
+        tv = lambda a: np.abs(np.diff(a, axis=0)).mean() + np.abs(np.diff(a, axis=1)).mean()
+        assert tv(np.asarray(sp[1].L)) < tv(base)
+
+    def test_edge_preservation(self):
+        """Perona-Malik: a strong step edge survives diffusion far better
+        than the same-amplitude fine texture."""
+        rng = np.random.default_rng(0)
+        img = np.zeros((64, 96), np.float32)
+        img[:, 48:] = 200.0                       # strong edge
+        img += rng.uniform(-20, 20, img.shape)    # weak texture
+        sp = diffusion.build_scale_space(jnp.asarray(img), num_octaves=1,
+                                         num_sublevels=3)
+        L = np.asarray(sp[-1].L) * 255.0
+        # texture flattened
+        assert L[10:50, 5:40].std() < 10.0
+        # edge amplitude retained
+        assert (L[:, 60:].mean() - L[:, :36].mean()) > 150.0
+
+
+class TestAkazeFrontend:
+    def test_detects_and_fills_bank(self, img):
+        f = detect_and_describe(jnp.asarray(img), OPTS)
+        assert int(np.asarray(f.valid).sum()) > 100
+        assert f.desc.shape == (512, 16)
+        # 486-bit descriptor: the padding bits (486..511) must be zero
+        bits_hi = np.asarray(f.desc)[:, 15]  # last word holds bits 480..511
+        assert (bits_hi >> 6 == 0).all()  # bits 486+ of the word are clear
+
+    def test_translation_matching_ratio_mode(self, img):
+        dx, dy = 24, 13
+        sh = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+        fa = detect_and_describe(jnp.asarray(img), OPTS)
+        fb = detect_and_describe(jnp.asarray(sh), OPTS)
+        m = match_pair(fa, fb, MatcherOptions(mode="ratio", dist_ratio=0.8))
+        mask = np.asarray(m.mask)
+        assert mask.sum() >= 50
+        qxy = np.asarray(fa.xy)[mask]
+        txy = np.asarray(fb.xy)[np.asarray(m.idx)[mask]]
+        d = txy - qxy
+        good = (np.abs(d[:, 0] - dx) < 2) & (np.abs(d[:, 1] - dy) < 2)
+        assert good.mean() > 0.8
+
+    def test_rotation_matching(self, img):
+        rot = np.rot90(img).copy()
+        optsr = DetectorOptions(width=H, height=W, max_keypoints=512,
+                                num_levels=8, backend="akaze")
+        fa = detect_and_describe(jnp.asarray(img), OPTS)
+        fr = detect_and_describe(jnp.asarray(rot), optsr)
+        m = match_pair(fa, fr, MatcherOptions(mode="ratio", dist_ratio=0.8))
+        mask = np.asarray(m.mask)
+        assert mask.sum() >= 50
+        qxy = np.asarray(fa.xy)[mask]
+        txy = np.asarray(fr.xy)[np.asarray(m.idx)[mask]]
+        pred = np.stack([qxy[:, 1], W - 1 - qxy[:, 0]], axis=1)
+        err = np.linalg.norm(txy - pred, axis=1)
+        assert (err < 3).mean() > 0.85
