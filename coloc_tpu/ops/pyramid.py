@@ -32,13 +32,19 @@ def level_shapes(
 def build_pyramid(
     image: jnp.ndarray, num_levels: int, scale_factor: float
 ) -> List[jnp.ndarray]:
-    """image (H, W) float32 -> list of (H_l, W_l) float32, bilinear resampled."""
+    """image (H, W) float32 -> list of (H_l, W_l) float32, bilinear resampled.
+
+    Successive resampling: each level resizes from the PREVIOUS level, not
+    from the base image — total resample work is a geometric series instead
+    of num_levels full-resolution passes (and the mild extra low-pass per
+    step is desirable for detection stability)."""
     h, w = image.shape
     shapes = level_shapes(h, w, num_levels, scale_factor)
     levels = [image]
     for l in range(1, num_levels):
         levels.append(
-            jax.image.resize(image, shapes[l], method="linear", antialias=False)
+            jax.image.resize(levels[-1], shapes[l], method="linear",
+                             antialias=False)
         )
     return levels
 

@@ -205,8 +205,17 @@ def refine(
         w = _huber_weights(res_sq, delta_sq) * obs_mask_f
         return jnp.sum((r * w[..., None]) ** 2)
 
-    def lm_step(state, _):
-        Rs, Cs, X, lam = state
+    # LM loop as lax.while_loop with a convergence exit: Ceres-style early
+    # stopping (function_tolerance semantics, Refiner.hpp:167-169). A fixed
+    # scan of max_iterations wastes most of its steps after convergence —
+    # the per-frame pose refinement converges in <10 iterations while the
+    # reference budget (and our cap) is much larger.
+    def lm_cond(state):
+        _, _, _, _, it, done = state
+        return (it < opts.max_iterations) & ~done
+
+    def lm_body(state):
+        Rs, Cs, X, lam, it, _ = state
         dp, dX, cost = build_normal_eqs(Rs, Cs, X, lam)
         if not optimize_structure:
             dX = jnp.zeros_like(X)
@@ -214,17 +223,19 @@ def refine(
         Xn = X + dX
         new_cost = current_cost(Rn, Cn, Xn)
         accept = new_cost < cost
+        rel_improve = (cost - new_cost) / jnp.maximum(cost, 1e-12)
+        done = accept & (rel_improve < opts.tolerance * 10.0 + 1e-6)
         Rs = jnp.where(accept, Rn, Rs)
         Cs = jnp.where(accept, Cn, Cs)
         X = jnp.where(accept, Xn, X)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
-                        jnp.minimum(lam * 4.0, 1e4))
-        return (Rs, Cs, X, lam), None
+        lam_new = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
+                            jnp.minimum(lam * 4.0, 1e4))
+        done = done | (lam_new >= 1e4)  # step rejection exhausted
+        return (Rs, Cs, X, lam_new, it + 1, done)
 
-    init = (problem.Rs, problem.Cs, problem.X, jnp.float32(1e-3))
-    (Rs, Cs, X, _lam), _ = jax.lax.scan(
-        lm_step, init, None, length=opts.max_iterations
-    )
+    init = (problem.Rs, problem.Cs, problem.X, jnp.float32(1e-3),
+            jnp.int32(0), jnp.asarray(False))
+    Rs, Cs, X, _lam, _it, _done = jax.lax.while_loop(lm_cond, lm_body, init)
 
     # ---- covariance at the solution (undamped Schur complement inverse) ----
     cov = _pose_covariance(
