@@ -118,14 +118,87 @@ def main():
         "vs_baseline": round(ops_per_sec / 500.0, 4),
     }
     print(json.dumps(result))
-    # extra context on stderr-style line (driver reads only the JSON line)
+    # extra context on stderr (driver reads only the stdout JSON line)
     import sys
+
     print(
         f"# backend={jax.default_backend()} config={w}x{h} kp={kp} "
         f"map={landmarks} iters={iters} compile={compile_s:.1f}s "
         f"latency={dt * 1e3:.2f}ms",
         file=sys.stderr,
     )
+
+    if os.environ.get("COLOC_BENCH_CONFIGS", "0") == "1":
+        _bench_baseline_configs(config, cam, mapdb, img, feats0, iters)
+
+
+def _bench_baseline_configs(config, cam, mapdb, img, feats0, iters):
+    """Per-config timings for the five BASELINE.json benchmark configs
+    (stderr report; opt-in via COLOC_BENCH_CONFIGS=1)."""
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from coloc_tpu.frontend import detect_and_describe
+    from coloc_tpu.matching import match_pair, match_with_map
+    from coloc_tpu.robust import relative_pose_essential
+    from coloc_tpu.sfm import localize
+
+    key = jax.random.PRNGKey(0)
+
+    def chain_bench(name, body):
+        @jax.jit
+        def loop(x):
+            def step(i, c):
+                out = body(jax.random.fold_in(key, i), c)
+                return img + out * 1e-9
+            return jax.lax.fori_loop(0, iters, step, x)
+        jax.block_until_ready(loop(img))
+        t0 = time.time()
+        jax.block_until_ready(loop(img))
+        dt = (time.time() - t0) / iters
+        print(f"# config[{name}]: {dt * 1e3:.2f} ms/op = {1 / dt:.1f} ops/s",
+              file=sys.stderr)
+
+    # 1. two-view detect/describe/match
+    def c1(k1, x):
+        fa = detect_and_describe(x, config.detector)
+        fb = detect_and_describe(x + 0.5, config.detector)
+        m = match_pair(fa, fb, config.matcher)
+        return m.best.sum().astype(jnp.float32) + fa.desc.sum().astype(jnp.float32) * 1e-9
+    chain_bench("1 detect+describe+match pair", c1)
+
+    # 2. two-view relative pose (5pt RANSAC + refinement)
+    m0 = match_pair(feats0, feats0, config.matcher)
+    def c2(k1, x):
+        geo = relative_pose_essential(
+            k1, feats0.xy + x[0, 0] * 1e-9, feats0.xy, m0.mask,
+            cam, cam, config.ransac,
+        )
+        return geo.R[0, 0] + geo.n_inliers.astype(jnp.float32)
+    chain_bench("2 relative pose (5pt RANSAC)", c2)
+
+    # 3. map localization (P3P + refine)
+    mm0 = match_with_map(feats0, mapdb, config.matcher)
+    def c3(k1, x):
+        pwc, _ = localize.localize_image(
+            k1, feats0._replace(xy=feats0.xy + x[0, 0] * 1e-9), mm0, mapdb,
+            cam, config.ransac, config.refiner,
+        )
+        return pwc.pose.C[0] + pwc.cov[0, 0]
+    chain_bench("3 map localization (P3P+BA)", c3)
+
+    # 4. inter-robot matching + ICI fusion
+    from coloc_tpu.fusion import covint
+    from coloc_tpu.matching import match_maps
+    def c4(k1, x):
+        mm = match_maps(mapdb, mapdb, config.matcher)
+        CA = jnp.eye(3) * (1e-4 + x[0, 0] * 1e-12)
+        f = covint.fuse(CA, CA * 2, jnp.zeros(3), jnp.ones(3) * 0.01)
+        return f.pos[0] + mm.best.sum().astype(jnp.float32) * 1e-9
+    chain_bench("4 map-map match + ICI fusion", c4)
 
 
 if __name__ == "__main__":

@@ -4,15 +4,16 @@ Reference parity: RobustMatcher.hpp filterEssential (:153-186) — AC-RANSAC
 with OpenMVG's FivePointSolver and SymmetricEpipolarDistanceError, then
 RelativePoseFromEssential (E -> 4 motion candidates -> cheirality vote).
 
-TPU-first deviation (documented): the minimal solver here is the normalized
-8-point algorithm (one 9x9 symmetric eigensolve per hypothesis — batched,
-branch-free, MXU/VPU-friendly) instead of Nistér's 5-point (10th-degree
-polynomial root-finding, awkward on TPU). RANSAC semantics, scoring, and the
-decomposition/cheirality logic match the reference; only the minimal sample
-size differs (8 vs 5). A batched 5-point solver via Aberth iteration is
-planned for exact parity.
+Solver inventory: the production 'E' path uses the batched Nistér 5-point
+solver in geometry/fivept.py (exact reference parity, planar-safe); this
+module provides the linear 8-point E (least-squares re-fit / testing), the
+Hartley-normalized 8-point F, the exact 7-point F (cubic via interpolation),
+the E -> (R, t) cheirality-voting decomposition with closed-form two-view
+depths, Sampson/symmetric epipolar errors, and Gauss-Newton refinement on
+the essential manifold.
 
-All inputs are normalized (unit-focal, undistorted) image coords.
+All inputs are normalized (unit-focal, undistorted) image coords except the
+F solvers, which take pixels.
 """
 
 from __future__ import annotations
@@ -22,7 +23,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from coloc_tpu.geometry.triangulation import triangulate_two_view
 
 
 def _epipolar_design_rows(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -286,16 +286,19 @@ def decompose_essential(
     t = U[:, 2]
     candidates = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
 
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)  # (M, 3)
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+
     def votes(R, t):
-        C = -R.T @ t
-        X = jax.vmap(
-            lambda a, b: triangulate_two_view(
-                jnp.eye(3), jnp.zeros(3), a, R, C, b
-            )
-        )(x1, x2)
-        d1 = X[:, 2]
-        d2 = ((X - C) @ R.T)[:, 2]
-        return jnp.sum((d1 > 0) & (d2 > 0) & mask)
+        # closed-form two-view depths (no eigensolve): from
+        # z2 x2 = R (z1 x1) + t, crossing with x2 eliminates z2:
+        # z1 (x2 x R x1) = -(x2 x t)  =>  z1 by least squares on the cross.
+        Rx1 = h1 @ R.T                      # (M, 3)
+        cr = jnp.cross(h2, Rx1)             # (M, 3)
+        ct = jnp.cross(h2, jnp.broadcast_to(t, h2.shape))
+        z1 = -jnp.sum(cr * ct, axis=-1) / (jnp.sum(cr * cr, axis=-1) + 1e-12)
+        z2 = (z1[:, None] * Rx1 + t[None, :])[:, 2]
+        return jnp.sum((z1 > 0) & (z2 > 0) & mask)
 
     vote_counts = jnp.stack([votes(R, t) for R, t in candidates])
     k = jnp.argmax(vote_counts)

@@ -167,7 +167,7 @@ def _det3_polys(P, Q, R):
     return jnp.pad(det, (0, 11 - det.shape[0]))
 
 
-def _durand_kerner(coeffs: jnp.ndarray, degree: int = 10, iters: int = 120):
+def _durand_kerner(coeffs: jnp.ndarray, degree: int = 10, iters: int = 60):
     """Roots of ascending-coefficient polynomial; returns (roots, is_real)."""
     lead = coeffs[degree]
     lead = jnp.where(jnp.abs(lead) < 1e-12, 1e-12, lead)

@@ -20,7 +20,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from coloc_tpu.geometry.triangulation import triangulate_two_view
 
 
 def four_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -104,14 +103,15 @@ def decompose_homography(
     ns = jnp.stack([n1, -n1, n2, -n2])
 
     def votes(R, t):
+        # closed-form two-view depths via cross products (see
+        # essential.decompose_essential — no per-point eigensolve)
         tn = t / (jnp.linalg.norm(t) + 1e-12)
-        C = -R.T @ tn
-        X = jax.vmap(
-            lambda p, q: triangulate_two_view(jnp.eye(3), jnp.zeros(3), p, R, C, q)
-        )(x1, x2)
-        d1 = X[:, 2]
-        d2 = ((X - C) @ R.T)[:, 2]
-        return jnp.sum((d1 > 0) & (d2 > 0) & mask)
+        Rx1 = h1 @ R.T
+        cr = jnp.cross(h2, Rx1)
+        ct = jnp.cross(h2, jnp.broadcast_to(tn, h2.shape))
+        z1 = -jnp.sum(cr * ct, axis=-1) / (jnp.sum(cr * cr, axis=-1) + 1e-12)
+        z2 = (z1[:, None] * Rx1 + tn[None, :])[:, 2]
+        return jnp.sum((z1 > 0) & (z2 > 0) & mask)
 
     vote_counts = jnp.stack([votes(Rs[i], ts[i]) for i in range(4)])
     order = jnp.argsort(-vote_counts)
