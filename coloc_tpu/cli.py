@@ -80,10 +80,13 @@ def main(argv=None):
         with native_loader.NativeLoader(
             args.folder, args.drones, n, size[1], size[0]
         ) as loader:
-            frames = {
-                d: [loader.get(d, f) for f in range(n)]
-                for d in range(args.drones)
-            }
+            # consume FRAME-MAJOR (all drones per frame) to match the
+            # prefetcher's decode order; drone-major consumption stalls the
+            # bounded prefetch cache
+            frames = {d: [] for d in range(args.drones)}
+            for f in range(n):
+                for d in range(args.drones):
+                    frames[d].append(loader.get(d, f))
     else:
         frames = {
             d: [disk.load_frame(args.folder, d, f) for f in range(n)]

@@ -31,7 +31,7 @@ class DetectorOptions:
     fast_threshold: int = 40           # KFAST threshold (coloc_node.cpp:81)
     descriptor_bits: int = 512         # CLATCH-equivalent 512-bit binary descriptor
     smoothing_radius: int = 2          # box pre-smooth for triplet sampling
-    border: int = 32                   # keep-out border so descriptor windows stay in-bounds
+    border: int = 16                   # full-res keep-out border (scaled per level, floor 8)
     backend: str = "trip"              # "trip" (KORAL-equivalent) | "akaze" (AKAZE-MLDB parity)
 
 

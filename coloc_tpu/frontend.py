@@ -26,7 +26,7 @@ from coloc_tpu.ops import orientation as orient_ops
 from coloc_tpu.ops import pyramid as pyr_ops
 from coloc_tpu.types import Features
 
-_DETECT_BORDER = 8  # level-local keep-out so the 7x7 orientation window fits
+_MIN_BORDER = 8  # floor: the 7x7 orientation window must fit
 
 
 def detect_and_describe(image: jnp.ndarray, opts: DetectorOptions) -> Features:
@@ -52,9 +52,12 @@ def _detect_and_describe_trip(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     smoothed = [pyr_ops.box_blur(lvl, opts.smoothing_radius) for lvl in levels]
 
     # --- detection: per-level FAST -> candidates, then global top-k ---------
+    # keep-out border: opts.border at full resolution, scaled down per level
+    # (so the TRIP sample pool mostly stays in-bounds) with a floor of 8
     xs, ys, ss, vs, ls = [], [], [], [], []
     for l, lvl in enumerate(levels):
-        x, y, s, v = fast_ops.detect(lvl, opts.fast_threshold, k, _DETECT_BORDER)
+        border_l = max(_MIN_BORDER, int(round(opts.border / opts.scale_factor ** l)))
+        x, y, s, v = fast_ops.detect(lvl, opts.fast_threshold, k, border_l)
         xs.append(x)
         ys.append(y)
         ss.append(jnp.where(v, s, 0.0))

@@ -91,8 +91,14 @@ def update(
     x_pred = x
     P_pred = P + Q
 
-    # chi-square-style gate (reference semantics: innv^T S innv, :134-136)
+    # chi-square-style gate (reference semantics: innv^T S innv, :134-136).
+    # Angle components wrap to [-pi, pi]: without this, a heading near the
+    # atan2 branch cut yields |innv| ~ 2pi, the gate rejects forever, and the
+    # filter freezes (latent in the reference, whose gate never fires).
     innv = z - x_pred
+    ang = innv[3:6]
+    ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
+    innv = jnp.concatenate([innv[:3], ang])
     S = P_pred + R
     dist = innv @ S @ innv
     warmed_up = bank.steps[drone] >= WARMUP_STEPS

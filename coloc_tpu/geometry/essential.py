@@ -182,10 +182,12 @@ def symmetric_epipolar_distance_sq(
     Ex1 = h1 @ E.T      # (M, 3): E @ x1 per row
     Etx2 = h2 @ E       # (M, 3): E^T @ x2 per row
     num = jnp.sum(h2 * Ex1, axis=-1) ** 2
-    denom = (
-        Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
-    )
-    return num / (denom + 1e-12) * 4.0
+    # true symmetric point-to-line distance: d(x2, E x1)^2 + d(x1, E^T x2)^2
+    # = num * (1/|l1|^2 + 1/|l2|^2). (NOT 4*num/(|l1|^2+|l2|^2), which
+    # underestimates without bound when one epipolar-line norm is small.)
+    d1 = num / (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + 1e-12)
+    d2 = num / (Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2 + 1e-12)
+    return d1 + d2
 
 
 def sampson_distance_sq(E, x1, x2):

@@ -226,7 +226,9 @@ struct Loader {
       int frame = static_cast<int>(idx / num_drones);
       int drone = static_cast<int>(idx % num_drones);
       std::vector<float> px(npix, 0.0f);
-      decode_any(path(drone, frame), px.data(), height, width);
+      if (!decode_any(path(drone, frame), px.data(), height, width)) {
+        px.clear();  // empty vector = decode-failure sentinel
+      }
       {
         std::unique_lock<std::mutex> lk(mu);
         // bound memory: wait until the cache drains below depth
@@ -275,10 +277,12 @@ int coloc_loader_get(void* handle, int drone, int frame, float* out) {
     lk.unlock();
     return decode_any(L->path(drone, frame), out, L->height, L->width) ? 0 : 1;
   }
-  std::memcpy(out, L->cache[k].data(), npix * sizeof(float));
+  const std::vector<float>& px = L->cache[k];
+  bool ok = px.size() == npix;  // empty vector = prefetch decode failure
+  if (ok) std::memcpy(out, px.data(), npix * sizeof(float));
   L->cache.erase(k);
   L->cv.notify_all();
-  return 0;
+  return ok ? 0 : 1;
 }
 
 void coloc_loader_close(void* handle) {

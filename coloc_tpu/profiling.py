@@ -45,8 +45,14 @@ class StageProfiler:
         with jax.profiler.TraceAnnotation(name):
             yield
         if self.sync:
-            # flush pending device work so the span measures real time
-            (jax.effects_barrier if hasattr(jax, "effects_barrier") else lambda: None)()
+            # Flush the device queue: dispatch a trivial computation and block
+            # on it — on a single device XLA executes enqueued computations in
+            # order, so this waits for everything the stage dispatched.
+            # (jax.effects_barrier only syncs EFFECTFUL computations and would
+            # miss ordinary async dispatch.)
+            import jax.numpy as _jnp
+
+            jax.block_until_ready(_jnp.zeros(()) + 0.0)
         dt = time.perf_counter() - t0
         self.times[name].append(dt)
         if self.printer:

@@ -95,15 +95,19 @@ def relative_pose_essential(
         R, t, x1, x2, res.inliers.astype(jnp.float32)
     )
     E_ref = ess.hat3(t) @ R
-    inliers = (scorer(E_ref, x1, x2) < thr_sq) & mask
-    keep = jnp.sum(inliers) >= res.n_inliers
-    inliers = jnp.where(keep, inliers, res.inliers)
+    refined_inl = (scorer(E_ref, x1, x2) < thr_sq) & mask
+    keep = jnp.sum(refined_inl) >= res.n_inliers
+    # if the refinement landed in a worse basin, revert BOTH the inlier set
+    # and the model (returning a pose from a rejected model would make the
+    # reported inliers inconsistent with the returned (R, t))
+    inliers = jnp.where(keep, refined_inl, res.inliers)
     n_inliers = jnp.sum(inliers.astype(jnp.int32))
+    E_final = jnp.where(keep, E_ref, res.model)
     # The Sampson objective is blind to the +-t / twisted-pair ambiguity, so
     # from a poor seed the GN can land in the antipodal basin (all depths
-    # negative). Re-run the cheirality vote on the refined E to pick the
+    # negative). Re-run the cheirality vote on the final E to pick the
     # physically-consistent motion (RelativePoseFromEssential semantics).
-    R, t = ess.decompose_essential(E_ref, x1, x2, inliers)
+    R, t = ess.decompose_essential(E_final, x1, x2, inliers)
     return TwoViewGeometry(
         R=R, t=t, inliers=inliers,
         n_inliers=n_inliers, success=res.success,
@@ -131,11 +135,16 @@ def relative_pose_fundamental(
     def scorer(F, a1, a2):
         return ess.symmetric_epipolar_distance_sq(F, a1, a2)
 
+    # log_alpha0 for point-to-line error in PIXEL units
+    A_px = (2.0 * cam1.cx) * (2.0 * cam1.cy)
+    D_px = jnp.sqrt((2.0 * cam1.cx) ** 2 + (2.0 * cam1.cy) ** 2)
     res = ransac(
         key, (u1, u2), mask, solver, scorer,
         sample_size=7, num_hypotheses=opts.num_hypotheses,
         threshold_sq=opts.essential_threshold ** 2,
         inlier_multiple=opts.inlier_multiple,
+        scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
+        error_dim=1.0,
     )
     # least-squares re-fit over the inlier set (see essential path)
     F_refit = ess.fundamental_8pt(u1, u2, weights=res.inliers.astype(jnp.float32))
@@ -229,10 +238,15 @@ def relative_pose_homography(
     def scorer(H, a1, a2):
         return homog.transfer_error_sq(H, a1, a2)
 
+    # log_alpha0 for POINT transfer error in normalized units
+    f_n = _mean_focal(cam1)
+    A_n = (2.0 * cam1.cx / f_n) * (2.0 * cam1.cy / f_n)
     res = ransac(
         key, (x1, x2), mask, solver, scorer,
         sample_size=4, num_hypotheses=opts.num_hypotheses,
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
+        scoring=opts.scoring, log_alpha0=jnp.log10(jnp.pi / A_n),
+        error_dim=2.0,
     )
     R, t, _n, chirality_ok = homog.decompose_homography(
         res.model, x1, x2, res.inliers, opts.chirality_ratio

@@ -184,10 +184,20 @@ def triangulate_new_landmarks(
     d_i = tri.depth_in_view(pose_i.R, pose_i.C, X)
     d_v = tri.depth_in_view(pose_v.R, pose_v.C, X)
     ang = tri.ray_angle_deg(pose_i.C, pose_v.C, X)
+    # reprojection guard (replaces a per-match robust-inlier prerequisite:
+    # the P3P inlier mask only covers EXISTING landmarks, so new-point
+    # candidates must be vetted geometrically here)
+    reproj_i = jnp.sum(
+        (cam_ops.project(cam_i, pose_i.R, pose_i.C, X) - uv_i) ** 2, axis=-1
+    )
+    reproj_v = jnp.sum(
+        (cam_ops.project(cam_v, pose_v.R, pose_v.C, X) - uv_v) ** 2, axis=-1
+    )
     gates = (
         (d_i > 0.0) & (d_v > 0.0)
         & (ang > _MIN_RAY_ANGLE_DEG)
         & (jnp.abs(X[:, 2]) < _MAX_Z_RESECTION)
+        & (reproj_i < 16.0) & (reproj_v < 16.0)
     )
     ok = matches_iv.mask & inliers & feats_i.valid & gates
 
@@ -214,16 +224,19 @@ def triangulate_new_landmarks(
 
 
 def invert_matches(m: Matches, capacity_train: int) -> Matches:
-    """Flip match direction: train-indexed view of a query->train mapping."""
+    """Flip match direction: train-indexed view of a query->train mapping.
+
+    Masked entries scatter to a DUMMY slot one past the end (then sliced
+    off) so they can never clobber a live train index. best/second stay
+    query-indexed in the reference convention and are not meaningful after
+    inversion; they are zeroed."""
     q = jnp.arange(m.idx.shape[0], dtype=jnp.int32)
-    safe = jnp.where(m.mask, m.idx, capacity_train - 1)
-    inv = jnp.full((capacity_train,), -1, jnp.int32).at[safe].set(
+    safe = jnp.where(m.mask, m.idx, capacity_train)  # dummy slot
+    inv = jnp.full((capacity_train + 1,), -1, jnp.int32).at[safe].set(
         jnp.where(m.mask, q, -1)
-    )
-    pad = capacity_train - m.best.shape[0]
-    def fit(a):
-        return jnp.pad(a, (0, max(pad, 0)))[:capacity_train]
-    return Matches(idx=inv, best=fit(m.best), second=fit(m.second))
+    )[:capacity_train]
+    zeros = jnp.zeros((capacity_train,), jnp.int32)
+    return Matches(idx=inv, best=zeros, second=zeros)
 
 
 def reconstruct_scene(
@@ -323,7 +336,8 @@ def reconstruct_scene(
             view_slot=jnp.int32(row_of[v]),
         )
         scene = triangulate_new_landmarks(
-            scene, features[i], features[v], m_iv, inl, 0,
+            scene, features[i], features[v], m_iv,
+            jnp.ones_like(m_iv.mask), 0,
             jnp.int32(row_of[v]), pose_v, cams[i], cams[v],
             num_landmarks=num_landmarks,
         )
@@ -354,14 +368,16 @@ def resect_and_extend(
     L = scene.capacity
     K = feats_new.capacity
 
-    # scatter: landmark slot map_matches.idx[q] observed at feats_new.xy[q]
+    # scatter: landmark slot map_matches.idx[q] observed at feats_new.xy[q].
+    # Masked rows scatter to a dummy slot L (sliced off) so duplicate-index
+    # writes cannot clobber a live landmark's observation.
     lm = map_matches.idx                                  # (K,)
     ok = map_matches.mask & pose_inliers & feats_new.valid
-    lm_safe = jnp.where(ok, lm, L - 1)
-    obs_v = jnp.zeros((L, 2)).at[lm_safe].set(
+    lm_safe = jnp.where(ok, lm, L)
+    obs_v = jnp.zeros((L + 1, 2)).at[lm_safe].set(
         jnp.where(ok[:, None], feats_new.xy, 0.0)
-    )
-    mask_v = jnp.zeros((L,), bool).at[lm_safe].set(ok)
+    )[:L]
+    mask_v = jnp.zeros((L + 1,), bool).at[lm_safe].set(ok)[:L]
 
     obs = scene.obs.at[view_slot].set(obs_v)
     obs_mask = scene.obs_mask.at[view_slot].set(mask_v & scene.X_valid)

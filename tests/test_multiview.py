@@ -97,6 +97,39 @@ class TestMultiViewReconstruction:
         assert np.median(err) < 0.1
         assert inl.sum() > 150
 
+    def test_new_landmarks_grow_beyond_seed(self, rng):
+        """Regression (review finding): points INVISIBLE to the seed pair but
+        seen by resected views must be added by new-landmark triangulation —
+        an earlier gate conjunction made this path unconditionally dead."""
+        feats, pair_matches, Rs, Cs, X = make_multiview(rng, V=4, n=256)
+        hide = np.zeros(256, bool)
+        hide[:60] = True
+        feats[1] = feats[1]._replace(
+            valid=jnp.asarray(np.asarray(feats[1].valid) & ~hide)
+        )
+        for key in [k for k in pair_matches if 1 in k]:
+            m = pair_matches[key]
+            keep = (np.asarray(m.idx) >= 0) & ~hide
+            pair_matches[key] = m._replace(
+                idx=jnp.where(jnp.asarray(keep), m.idx, -1)
+            )
+        geo01 = relative_pose_essential(
+            jax.random.PRNGKey(1), feats[0].xy,
+            feats[1].xy[pair_matches[(0, 1)].idx],
+            pair_matches[(0, 1)].mask, CAM, CAM, RansacOptions(),
+        )
+        pair_geo = {(0, 1): geo01}  # force the blind seed pair
+        rel_C = np.asarray(Rs[0]) @ (np.asarray(Cs[1]) - np.asarray(Cs[0]))
+        scene, _ = reconstruct.reconstruct_scene(
+            jax.random.PRNGKey(0), feats, pair_matches, pair_geo,
+            [CAM] * 4, jnp.tile(K[None], (4, 1, 1)), jnp.zeros((4, 3)),
+            float(np.linalg.norm(rel_C)), num_landmarks=256,
+            refiner_opts=RefinerOptions(max_iterations=20),
+            ransac_opts=RansacOptions(),
+        )
+        recovered = np.asarray(scene.X_valid)[:60].sum()
+        assert recovered > 30, f"only {recovered}/60 hidden landmarks recovered"
+
     def test_invert_matches(self):
         m = Matches(
             idx=jnp.asarray([2, -1, 0], jnp.int32),
