@@ -130,6 +130,70 @@ def main():
 
     if os.environ.get("COLOC_BENCH_CONFIGS", "0") == "1":
         _bench_baseline_configs(config, cam, mapdb, img, feats0, iters)
+    if os.environ.get("COLOC_BENCH_ACCURACY", "0") == "1":
+        _bench_accuracy(config, cam, scene, K)
+
+
+def _bench_accuracy(config, cam, scene, K):
+    """End-to-end pose accuracy vs ground truth on the rendered scene
+    (stderr; the BASELINE 'pose error within 1%' check, GT-referenced since
+    no OpenMVG oracle exists in this environment)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from coloc_tpu.frontend import detect_and_describe
+    from coloc_tpu.geometry import so3
+    from coloc_tpu.io import synthetic
+    from coloc_tpu.matching import match_pair, match_with_map
+    from coloc_tpu.robust import relative_pose_essential
+    from coloc_tpu.sfm import localize, reconstruct
+    from coloc_tpu.types import Pose
+
+    R2 = np.asarray(so3.exp(jnp.asarray([0.01, -0.06, 0.005], jnp.float32)))
+    C2 = np.array([0.5, 0.08, 0.0], np.float32)
+    R3 = np.asarray(so3.exp(jnp.asarray([-0.02, 0.04, 0.01], jnp.float32)))
+    C3 = np.array([0.25, -0.1, 0.05], np.float32)
+    img1 = synthetic.render(scene, np.eye(3, dtype=np.float32),
+                            np.zeros(3, np.float32))
+    img2 = synthetic.render(scene, R2, C2)
+    img3 = synthetic.render(scene, R3, C3)
+
+    f1 = detect_and_describe(jnp.asarray(img1), config.detector)
+    f2 = detect_and_describe(jnp.asarray(img2), config.detector)
+    f3 = detect_and_describe(jnp.asarray(img3), config.detector)
+    m = match_pair(f1, f2, config.matcher)
+    geo = relative_pose_essential(
+        jax.random.PRNGKey(0), f1.xy, f2.xy[m.idx], m.mask, cam, cam,
+        config.ransac,
+    )
+    sc = reconstruct.two_view_scene(
+        f1, f2, m, geo.inliers, geo.R, geo.t,
+        Pose(R=jnp.eye(3), C=jnp.zeros(3)), float(np.linalg.norm(C2)),
+        cam, cam, num_landmarks=config.max_landmarks,
+    )
+    Ks = jnp.stack([cam.K, cam.K])
+    ds = jnp.stack([cam.dist, cam.dist])
+    sc, _ = reconstruct.refine_scene(
+        sc, Ks, ds, config.refiner, jnp.asarray([True, False])
+    )
+    mdb = reconstruct.scene_to_mapdb(sc)
+    mm = match_with_map(f3, mdb, config.matcher)
+    pwc, _ = localize.localize_image(
+        jax.random.PRNGKey(1), f3, mm, mdb, cam, config.ransac, config.refiner
+    )
+    cosang = (np.trace(np.asarray(pwc.pose.R).T @ R3) - 1) / 2
+    rot_err = float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+    c_err = float(np.linalg.norm(np.asarray(pwc.pose.C) - C3))
+    baseline_dist = float(np.linalg.norm(C3))
+    print(
+        f"# accuracy: localization rot_err={rot_err:.3f} deg, "
+        f"center_err={c_err * 100:.2f} cm "
+        f"({c_err / baseline_dist * 100:.2f}% of trajectory scale), "
+        f"inliers={int(pwc.n_tracks)}, success={bool(pwc.success)}",
+        file=sys.stderr,
+    )
 
 
 def _bench_baseline_configs(config, cam, mapdb, img, feats0, iters):

@@ -110,6 +110,10 @@ def _k2nn_kernel(q_ref, t_ref, pen_ref, idx_ref, best_ref, second_ref,
     dot = jax.lax.dot_general(
         q_ref[:], t_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        # explicit DEFAULT: the library-wide "highest" matmul precision (set
+        # for f32 geometry in coloc_tpu/__init__) is meaningless for int8
+        # operands and makes Mosaic reject the op ("Bad lhs type")
+        precision=jax.lax.Precision.DEFAULT,
     )
     dist = (DESC_BITS - dot) // 2 + pen_ref[:]  # pen (1, TT) broadcasts
 

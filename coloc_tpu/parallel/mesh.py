@@ -127,6 +127,77 @@ def collaborative_step(
     return run
 
 
+def sharded_map_match(mesh: Mesh, opts):
+    """2-NN matching against a MAP-SHARDED descriptor bank.
+
+    SURVEY.md §5 (long-context analog): when the landmark bank outgrows one
+    chip, shard it across the mesh. Each device runs the fused Hamming 2-NN
+    kernel over its shard of the bank; the per-shard (best, second, idx)
+    triples merge with the same two-smallest logic the kernel uses
+    internally, via an all_gather over the map axis — O(devices * queries)
+    bytes on ICI instead of moving any descriptors.
+
+    Returns a jitted fn:
+      (q_desc (Q,16) replicated, q_valid (Q,), shard_desc (L,16) sharded on
+       axis 0, shard_valid (L,)) -> (idx (Q,) GLOBAL landmark index, best,
+       second) with CUDAK2NN semantics.
+    """
+    from coloc_tpu.ops import hamming
+
+    axis = DRONE_AXIS  # reuse the mesh axis; semantically the "map" axis here
+
+    def step(q_desc, q_valid, shard_desc, shard_valid):
+        idx, best, second = hamming.hamming_2nn(
+            q_desc, shard_desc, q_valid, shard_valid
+        )
+        me = jax.lax.axis_index(axis)
+        shard_size = shard_desc.shape[0]
+        gidx = idx + me * shard_size  # globalize within my shard
+
+        all_best = jax.lax.all_gather(best, axis)      # (D, Q)
+        all_second = jax.lax.all_gather(second, axis)  # (D, Q)
+        all_idx = jax.lax.all_gather(gidx, axis)       # (D, Q)
+
+        # merge D sorted-pairs: global best = min of bests; global second =
+        # min of (all seconds, all non-argmin bests)
+        d_best = jnp.argmin(all_best, axis=0)          # (Q,)
+        q_ar = jnp.arange(best.shape[0])
+        g_best = all_best[d_best, q_ar]
+        g_idx = all_idx[d_best, q_ar]
+        masked_bests = jnp.where(
+            jnp.arange(all_best.shape[0])[:, None] == d_best[None, :],
+            jnp.int32(2048), all_best,
+        )
+        g_second = jnp.minimum(
+            jnp.min(all_second, axis=0), jnp.min(masked_bests, axis=0)
+        )
+        return g_idx, g_best, g_second
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DRONE_AXIS), P(DRONE_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(q_desc, q_valid, map_desc, map_valid):
+        idx, best, second = sharded(q_desc, q_valid, map_desc, map_valid)
+        if opts.mode == "ratio":
+            ok = best.astype(jnp.float32) < opts.dist_ratio * second.astype(
+                jnp.float32
+            )
+        else:
+            ok = (second - best) > opts.margin_threshold
+        ok = ok & q_valid & (best <= 512)
+        from coloc_tpu.types import Matches
+
+        return Matches(idx=jnp.where(ok, idx, -1), best=best, second=second)
+
+    return run
+
+
 def shard_inputs(mesh: Mesh, keys, images, Ks, dists, fb, mapdb):
     """Place inputs: drone-sharded data vs replicated map."""
     dsh = NamedSharding(mesh, P(DRONE_AXIS))

@@ -61,3 +61,43 @@ class TestMesh:
         assert np.isfinite(np.asarray(fused_cov)).all()
         # filter bank advanced independently per drone
         assert fb2.x.shape == (D, 6)
+
+    def test_sharded_map_match_equals_single_device(self, rng):
+        """Map-sharded 2-NN (bank split over 8 devices + collective merge)
+        must reproduce the single-device matcher exactly."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from coloc_tpu.config import MatcherOptions
+        from coloc_tpu.ops import hamming
+        from coloc_tpu.types import Matches
+
+        Q, L = 96, 1024  # L divisible by 8 devices
+        qd = jnp.asarray(
+            rng.integers(0, 2**32, (Q, 16), dtype=np.uint64).astype(np.uint32)
+        )
+        td = jnp.asarray(
+            rng.integers(0, 2**32, (L, 16), dtype=np.uint64).astype(np.uint32)
+        )
+        # plant exact matches so accepts exist
+        qd = qd.at[:32].set(td[100:132])
+        qv = jnp.ones(Q, bool)
+        tv = jnp.asarray(rng.random(L) > 0.1)
+
+        opts = MatcherOptions(mode="margin", margin_threshold=60)
+        m = pmesh.make_mesh()
+        run = pmesh.sharded_map_match(m, opts)
+        dsh = NamedSharding(m, P(pmesh.DRONE_AXIS))
+        out = run(qd, qv, jax.device_put(td, dsh), jax.device_put(tv, dsh))
+
+        ridx, rbest, rsecond = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        np.testing.assert_array_equal(np.asarray(out.best), np.asarray(rbest))
+        np.testing.assert_array_equal(
+            np.asarray(out.second), np.asarray(rsecond)
+        )
+        # accepted matches agree with the single-device accept logic
+        ok_ref = ((rsecond - rbest) > 60) & qv & (rbest <= 512)
+        np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ok_ref))
+        # indices achieve the best distance
+        for q in np.nonzero(np.asarray(out.mask))[0]:
+            d = int(hamming.hamming_distance(qd[q], td[int(out.idx[q])]))
+            assert d == int(rbest[q])
