@@ -79,18 +79,14 @@ def fast_score_map(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
     ring = _ring_stack(image)
     dev = ring - image[None, :, :]
 
-    bright = dev > threshold
-    dark = (-dev) > threshold
-
-    bright9 = _consecutive9(bright)
-    dark9 = _consecutive9(dark)
-
-    neg_inf = jnp.float32(-1.0)
-    bright_arc = jnp.where(bright9, _arc_min9(dev), neg_inf)
-    dark_arc = jnp.where(dark9, _arc_min9(-dev), neg_inf)
-
-    score = jnp.maximum(jnp.max(bright_arc, axis=0), jnp.max(dark_arc, axis=0))
-    score = jnp.where(score > 0, score, 0.0)
+    # arc minimums double as the consecutive-9 test (min over the 9-arc of
+    # dev > t <=> all 9 exceed t), and the per-arc threshold select folds
+    # into one test on the max: max_s(arc_min[s]) > t <=> some arc qualifies,
+    # and that max IS the best qualifying arc's score
+    sb = jnp.max(_arc_min9(dev), axis=0)
+    sd = jnp.max(_arc_min9(-dev), axis=0)
+    score = jnp.maximum(sb, sd)
+    score = jnp.where(score > threshold, score, 0.0)
     # kill the replicate-padded border (3 ring + safety)
     h, w = image.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -201,18 +197,17 @@ def _fast_nms_kernel(img_hbm, thresh_ref, raw_ref, score_ref, win, sem):
         r8 = [op(a, b) for a, b in zip(r4, rot(r4, 4))]
         return [op(a, b) for a, b in zip(r8, rot(flags_or_vals, 8))]
 
-    neg1 = jnp.float32(-1.0)
-
-    bright9 = cascade([d > t for d in dev], jnp.logical_and)
-    dark9 = cascade([(-d) > t for d in dev], jnp.logical_and)
+    # arc minimums double as the consecutive-9 test, and the per-arc
+    # threshold select folds into one test on the max (see fast_score_map)
     bright_arc = cascade(dev, jnp.minimum)
     dark_arc = cascade([-d for d in dev], jnp.minimum)
 
-    score = jnp.full((sh, sw), neg1)
-    for b9, d9, ba, da in zip(bright9, dark9, bright_arc, dark_arc):
-        score = jnp.maximum(score, jnp.where(b9, ba, neg1))
-        score = jnp.maximum(score, jnp.where(d9, da, neg1))
-    score = jnp.maximum(score, 0.0)
+    score = bright_arc[0]
+    for ba in bright_arc[1:]:
+        score = jnp.maximum(score, ba)
+    for da in dark_arc:
+        score = jnp.maximum(score, da)
+    score = jnp.where(score > t, score, 0.0)
 
     raw_ref[:, :] = score[1 : 1 + _TH, 1 : 1 + _TW]
 
