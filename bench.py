@@ -264,6 +264,40 @@ def _bench_baseline_configs(config, cam, mapdb, img, feats0, iters):
         return f.pos[0] + mm.best.sum().astype(jnp.float32) * 1e-9
     chain_bench("4 map-map match + ICI fusion", c4)
 
+    # 5. full collaborative session (host-orchestrated: includes dispatch
+    # latency and the KF/logging host logic — the end-to-end system number)
+    from coloc_tpu.geometry import so3
+    from coloc_tpu.io import synthetic
+    from coloc_tpu.session import ColocSession
+
+    h = int(2 * float(cam.cy))
+    w = int(2 * float(cam.cx))
+    Kmat = np.asarray(cam.K)
+    scn = synthetic.make_scene(h, w, Kmat, seed=2)
+    frames = {}
+    for d in range(2):
+        Rs, Cs = synthetic.trajectory(4, d)
+        frames[d] = [synthetic.render(scn, Rs[f], Cs[f]) for f in range(4)]
+    sess = ColocSession(config, np.stack([Kmat] * 2),
+                        np.zeros((2, 3), np.float32))
+    if sess.init_map({0: frames[0][0], 1: frames[1][0]}):
+        # warm the jit caches
+        sess.intra_pose(0, frames[0][1])
+        sess.intra_pose(1, frames[1][1])
+        n_ops = 0
+        t0 = time.time()
+        for rep in range(3):
+            for f in (1, 2, 3):
+                for d in (0, 1):
+                    sess.intra_pose(d, frames[d][f])
+                    n_ops += 1
+        dt5 = (time.time() - t0) / n_ops
+        print(
+            f"# config[5 full session intra step]: {dt5 * 1e3:.2f} ms/op = "
+            f"{1 / dt5:.1f} ops/s (host-orchestrated)",
+            file=sys.stderr,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -46,6 +46,7 @@ class ColocSession:
         dists: np.ndarray,       # (D, 3)
         out_dir: str = "",
         seed: int = 0,
+        profile: bool = False,
     ):
         self.config = config
         self.cams = [
@@ -61,6 +62,14 @@ class ColocSession:
         self.frame = 0
         self.key = jax.random.PRNGKey(seed)
         self.last_pose: Dict[int, PoseWithCov] = {}
+
+        # per-stage tracing (reference: chrono spans printed around every
+        # stage, coloc.hpp:113-144; here device-synchronized spans)
+        from coloc_tpu.profiling import StageProfiler
+
+        self.profiler = StageProfiler(
+            enabled=profile, printer=print if profile else None
+        )
 
         self.out_dir = out_dir
         if out_dir:
@@ -171,29 +180,59 @@ class ColocSession:
         return True
 
     # ------------------------------------------------------------ intra pose
+    def _fused_intra(self):
+        """One jitted frame step: detect -> map match -> localize -> KF.
+
+        A single dispatch instead of four — the host only reads back the
+        final scalars/pose (SURVEY §7.4.6: ~1 device round-trip per frame).
+        Built lazily per (config, camera) and cached on the session.
+        """
+        if getattr(self, "_fused_intra_fn", None) is not None:
+            return self._fused_intra_fn
+
+        cfg = self.config
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("drone",))
+        def step(key, image, map_X, map_desc, map_valid, fb_x, fb_P, fb_steps,
+                 drone: int):
+            mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
+            feats = detect_and_describe(image, cfg.detector)
+            mm = matching.match_with_map(feats, mapdb, cfg.matcher)
+            pwc, _ = localize.localize_image(
+                key, feats, mm, mapdb, self.cams[drone], cfg.ransac,
+                cfg.refiner,
+            )
+            bank = kalman.FilterBank(x=fb_x, P=fb_P, steps=fb_steps)
+            z = kalman.fill_measurement(pwc.pose)
+            bank, filtered, dist, rej = kalman.update(
+                bank, jnp.int32(drone), z, pwc.cov[3:6, 3:6], pwc.rmse,
+                pwc.success, cfg.filter,
+            )
+            euler = so3.rot_to_euler(pwc.pose.R)
+            return pwc, bank, filtered, dist, rej, euler
+
+        self._fused_intra_fn = step
+        return step
+
     def intra_pose(self, drone: int, image: np.ndarray) -> PoseWithCov:
         """Per-frame map-based localization + KF (intraPoseEstimator,
-        coloc.hpp:201-271)."""
+        coloc.hpp:201-271). Single fused device dispatch."""
         cfg = self.config
-        feats = self.detect(image)
-        mm = matching.match_with_map(feats, self.mapdb, cfg.matcher)
-        pwc, _inl = localize.localize_image(
-            self._next_key(), feats, mm, self.mapdb, self.cams[drone],
-            cfg.ransac, cfg.refiner,
-        )
-        euler = so3.rot_to_euler(pwc.pose.R)
+        with self.profiler.stage("intra_step"):
+            pwc, bank, filtered, dist, rej, euler = self._fused_intra()(
+                self._next_key(), jnp.asarray(image),
+                self.mapdb.X, self.mapdb.desc, self.mapdb.valid,
+                self.filter_bank.x, self.filter_bank.P,
+                self.filter_bank.steps, drone=drone,
+            )
+        self.filter_bank = bank
         if self.pose_log:
             self.pose_log.log(
                 self.frame, drone, drone, np.asarray(pwc.pose.C),
                 np.asarray(pwc.cov), np.asarray(euler),
                 float(pwc.rmse), int(pwc.n_tracks),
             )
-
-        z = kalman.fill_measurement(pwc.pose)
-        self.filter_bank, filtered, dist, rej = kalman.update(
-            self.filter_bank, jnp.int32(drone), z,
-            pwc.cov[3:6, 3:6], pwc.rmse, pwc.success, cfg.filter,
-        )
         if self.gate_log:
             self.gate_log.log(drone, float(dist))
         if self.filtered_log:

@@ -104,3 +104,22 @@ class TestSession:
         assert ok
         # map rebuilt from newer frames: landmark bank changed
         assert not np.array_equal(np.asarray(session.scene.X), X_before)
+
+
+class TestDeterminism:
+    def test_session_bitwise_deterministic(self, dataset):
+        """SURVEY §4: determinism under jit — two sessions with identical
+        seeds and frames must produce bit-identical pose streams."""
+        frames, gt = dataset
+        runs = []
+        for _ in range(2):
+            s = make_session()
+            results = s.run(frames, inter_every=0)
+            runs.append([
+                (np.asarray(p.pose.R), np.asarray(p.pose.C), np.asarray(p.cov))
+                for d in (0, 1) for p in results[d]
+            ])
+        for (Ra, Ca, Va), (Rb, Cb, Vb) in zip(*runs):
+            np.testing.assert_array_equal(Ra, Rb)
+            np.testing.assert_array_equal(Ca, Cb)
+            np.testing.assert_array_equal(Va, Vb)
