@@ -283,6 +283,23 @@ class ColocSession:
         n_common = int(jnp.sum(mm.mask & self.mapdb.valid))
         if n_common < 2:
             return None
+
+        # epipolar-guided residual diagnostics under the known relative pose
+        # (RobustMatcher::matchMaps parity, guidedmatches2.txt log)
+        if self.out_dir:
+            res = utils.guided_match_residuals(
+                self.cams[src].K, self.cams[dst].K, geo.R, geo.t,
+                self.scene.obs[0][jnp.arange(self.mapdb.capacity)],
+                temp.obs[1][mm.idx],
+                mm.mask & self.mapdb.valid,
+            )
+            res_np = np.asarray(res)
+            with open(
+                os.path.join(self.out_dir, "guidedmatches2.txt"), "a"
+            ) as fh:
+                for r in res_np[np.asarray(mm.mask & self.mapdb.valid)]:
+                    fh.write(f"{float(r)}\n")
+
         scale = utils.compute_scale_difference(self.mapdb, temp_db, mm)
         Xs, Cs = utils.rescale_map(temp.X, temp.Cs, scale)
         temp = temp._replace(X=Xs, Cs=Cs)

@@ -55,3 +55,30 @@ def compute_scale_difference(
 def rescale_map(X: jnp.ndarray, Cs: jnp.ndarray, scale) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """rescaleMap parity: landmarks and camera centers scaled by `scale`."""
     return X * scale, Cs * scale
+
+
+def guided_match_residuals(
+    K1: jnp.ndarray,           # (3, 3) intrinsics of map A's anchor view
+    K2: jnp.ndarray,           # (3, 3) intrinsics of map B's anchor view
+    R_diff: jnp.ndarray,       # (3, 3) known relative rotation between maps
+    t_diff: jnp.ndarray,       # (3,) known relative translation
+    uv1: jnp.ndarray,          # (M, 2) map-A observation pixels
+    uv2: jnp.ndarray,          # (M, 2) matched map-B observation pixels
+    mask: jnp.ndarray,         # (M,) bool
+) -> jnp.ndarray:
+    """Epipolar residuals of map-to-map matches under a KNOWN relative pose.
+
+    RobustMatcher::matchMaps parity (:241-370): builds the fundamental matrix
+    from the known rotation/translation difference,
+    F = K2^-T [t]_x R K1^-1 (:318-328), evaluates the per-match epipolar
+    residual x2^T F x1, and reports it (the reference logs these to
+    guidedmatches2.txt and currently passes all matches through :348-362 —
+    we reproduce the diagnostic; thresholding is the caller's choice).
+    """
+    from coloc_tpu.geometry.essential import hat3
+
+    F = jnp.linalg.inv(K2).T @ hat3(t_diff) @ R_diff @ jnp.linalg.inv(K1)
+    h1 = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=-1)
+    h2 = jnp.concatenate([uv2, jnp.ones_like(uv2[:, :1])], axis=-1)
+    res = jnp.abs(jnp.sum(h2 * (h1 @ F.T), axis=-1))
+    return jnp.where(mask, res, 0.0)
