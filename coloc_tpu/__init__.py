@@ -34,6 +34,22 @@ import jax as _jax
 # dot_general with int32 accumulation, which this setting does not touch.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: TPU compiles of the big fused graphs take
+# 15-130 s (remote-compile path); the cache cuts warm starts to seconds.
+# Opt out with COLOC_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if _os.environ.get("COLOC_TPU_NO_COMPILE_CACHE", "0") != "1":
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "coloc_tpu_xla"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the knobs
+
 from coloc_tpu.config import (  # noqa: F401
     ColocConfig,
     DetectorOptions,
