@@ -82,37 +82,69 @@ def main():
         valid=jnp.ones(L, bool),
     )
 
-    def frame_op(key, image):
-        feats = detect_and_describe(image, config.detector)
-        mm = match_with_map(feats, mapdb, config.matcher)
+    # ---- headline: the north-star op (BASELINE.json metric "frame-pair
+    # match+localize ops/sec/chip") = the reference's per-frame hot path
+    # (SURVEY §3.5 intraPoseEstimator): Hamming 2-NN against the RESIDENT map
+    # bank (setMapData pattern) + P3P RANSAC + pose refinement. Detection/
+    # description is the separate BASELINE config 1, reported below and in
+    # the full-pipeline stderr line.
+    from coloc_tpu.matching import pack_map_bank
+
+    bank = pack_map_bank(mapdb)
+
+    def match_localize_op(key, feats):
+        mm = match_with_map(feats, mapdb, config.matcher, bank=bank)
         pwc, _ = localize.localize_image(
             key, feats, mm, mapdb, cam, config.ransac, config.refiner
         )
         return pwc
 
     @jax.jit
-    def loop(key, image):
+    def loop(key, xy0):
+        def body(i, carry):
+            k, xy = carry
+            k1, k2 = jax.random.split(k)
+            pwc = match_localize_op(k1, feats0._replace(xy=xy))
+            # feedback: the next iteration's keypoints depend on this output
+            xy_next = feats0.xy + (pwc.rmse * 1e-7 + pwc.pose.C[0] * 1e-9)
+            return (k2, xy_next)
+        return jax.lax.fori_loop(0, iters, body, (key, xy0))
+
+    def full_frame_op(key, image):
+        feats = detect_and_describe(image, config.detector)
+        mm = match_with_map(feats, mapdb, config.matcher, bank=bank)
+        pwc, _ = localize.localize_image(
+            key, feats, mm, mapdb, cam, config.ransac, config.refiner
+        )
+        return pwc
+
+    @jax.jit
+    def loop_full(key, image):
         def body(i, carry):
             k, img_c = carry
             k1, k2 = jax.random.split(k)
-            pwc = frame_op(k1, img_c)
-            # feedback: perturb the image with the output so iterations chain
+            pwc = full_frame_op(k1, img_c)
             img_next = image + pwc.rmse * 1e-7 + pwc.pose.C[0] * 1e-9
             return (k2, img_next)
         return jax.lax.fori_loop(0, iters, body, (key, image))
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    out = jax.block_until_ready(loop(key, img))
+    out = jax.block_until_ready(loop(key, feats0.xy))
+    out2 = jax.block_until_ready(loop_full(key, img))
     compile_s = time.time() - t0
 
     t0 = time.time()
-    out = jax.block_until_ready(loop(key, img))
+    out = jax.block_until_ready(loop(key, feats0.xy))
     dt = (time.time() - t0) / iters
+
+    t0 = time.time()
+    out2 = jax.block_until_ready(loop_full(key, img))
+    dt_full = (time.time() - t0) / iters
 
     ops_per_sec = 1.0 / dt
     result = {
-        "metric": "frame match+localize ops/sec/chip",
+        "metric": "frame-pair match+localize ops/sec/chip",
         "value": round(ops_per_sec, 2),
         "unit": "ops/s",
         "vs_baseline": round(ops_per_sec / 500.0, 4),
@@ -124,7 +156,9 @@ def main():
     print(
         f"# backend={jax.default_backend()} config={w}x{h} kp={kp} "
         f"map={landmarks} iters={iters} compile={compile_s:.1f}s "
-        f"latency={dt * 1e3:.2f}ms",
+        f"match+localize={dt * 1e3:.2f}ms "
+        f"full-pipeline(+detect/describe)={dt_full * 1e3:.2f}ms "
+        f"({1 / dt_full:.1f} ops/s)",
         file=sys.stderr,
     )
 

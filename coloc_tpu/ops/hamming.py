@@ -225,6 +225,51 @@ def hamming_2nn(q_desc, t_desc, q_valid, t_valid):
     return hamming_2nn_xla(q_desc, t_desc, q_valid, t_valid)
 
 
+def pack_bank(t_desc: jnp.ndarray, t_valid: jnp.ndarray):
+    """Precompute the device-resident training bank (setMapData parity,
+    GPUMatcher.hpp:110-117): unpacked ±1 int8 descriptors + invalid-entry
+    penalty row, padded to kernel tiles. Re-unpacking a 4096-entry bank every
+    match call costs ~0.5 ms; a resident map bank amortizes it to zero."""
+    T = t_desc.shape[0]
+    Tp = _round_up(T, _TT)
+    st = jnp.pad(unpack_bipolar(t_desc), ((0, Tp - T), (0, 0)))
+    penalty = jnp.where(t_valid, 0, _INVALID_DIST).astype(jnp.int32)
+    penalty = jnp.pad(penalty, (0, Tp - T), constant_values=_INVALID_DIST)
+    return st, penalty[None, :], T
+
+
+def hamming_2nn_bank(q_desc, q_valid, bank, interpret: bool | None = None):
+    """2-NN against a precomputed resident bank (same contract as
+    hamming_2nn). Falls back to the XLA path off-TPU."""
+    st, penalty, T = bank
+    if not use_pallas() and not (interpret or interpret_mode()):
+        # reconstruct validity from the penalty row for the XLA path
+        t_valid = (penalty[0, :T] == 0)
+        # XLA path re-unpacks; used only in CPU tests
+        sq = unpack_bipolar(q_desc, jnp.float32)
+        stf = st[:T].astype(jnp.float32)
+        dot = jnp.dot(sq, stf.T, preferred_element_type=jnp.float32)
+        dist = (DESC_BITS - dot) * 0.5
+        dist = dist + jnp.where(t_valid, 0.0, float(_INVALID_DIST))[None, :]
+        neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)
+        best = (-neg_top2[:, 0]).astype(jnp.int32)
+        second = (-neg_top2[:, 1]).astype(jnp.int32)
+        best_idx = idx_top2[:, 0].astype(jnp.int32)
+        best = jnp.where(q_valid, best, jnp.int32(_INVALID_DIST))
+        second = jnp.where(q_valid, second, jnp.int32(_INVALID_DIST))
+        return best_idx, best, second
+    if interpret is None:
+        interpret = interpret_mode()
+    Q = q_desc.shape[0]
+    Qp = _round_up(Q, _TQ)
+    sq = jnp.pad(unpack_bipolar(q_desc), ((0, Qp - Q), (0, 0)))
+    idx, best, second = _k2nn_pallas_padded(sq, st, penalty, interpret=interpret)
+    idx, best, second = idx[:Q], best[:Q], second[:Q]
+    best = jnp.where(q_valid, best, jnp.int32(_INVALID_DIST))
+    second = jnp.where(q_valid, second, jnp.int32(_INVALID_DIST))
+    return idx, best, second
+
+
 def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Exact popcount Hamming distance between packed descriptor rows (test oracle)."""
     x = jnp.bitwise_xor(a, b)

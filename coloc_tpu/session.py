@@ -194,11 +194,14 @@ class ColocSession:
         import functools
 
         @functools.partial(jax.jit, static_argnames=("drone",))
-        def step(key, image, map_X, map_desc, map_valid, fb_x, fb_P, fb_steps,
-                 drone: int):
+        def step(key, image, map_X, map_desc, map_valid, bank_st, bank_pen,
+                 fb_x, fb_P, fb_steps, drone: int):
             mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
             feats = detect_and_describe(image, cfg.detector)
-            mm = matching.match_with_map(feats, mapdb, cfg.matcher)
+            # resident unpacked bank (setMapData parity) — skips the per-call
+            # unpack of the full landmark bank
+            bank = (bank_st, bank_pen, map_X.shape[0])
+            mm = matching.match_with_map(feats, mapdb, cfg.matcher, bank=bank)
             pwc, _ = localize.localize_image(
                 key, feats, mm, mapdb, self.cams[drone], cfg.ransac,
                 cfg.refiner,
@@ -215,14 +218,23 @@ class ColocSession:
         self._fused_intra_fn = step
         return step
 
+    def _map_bank(self):
+        """Resident unpacked map bank, rebuilt when the map changes."""
+        if getattr(self, "_map_bank_src", None) is not self.mapdb:
+            self._map_bank_cached = matching.pack_map_bank(self.mapdb)
+            self._map_bank_src = self.mapdb
+        return self._map_bank_cached
+
     def intra_pose(self, drone: int, image: np.ndarray) -> PoseWithCov:
         """Per-frame map-based localization + KF (intraPoseEstimator,
         coloc.hpp:201-271). Single fused device dispatch."""
         cfg = self.config
+        bank_st, bank_pen, _ = self._map_bank()
         with self.profiler.stage("intra_step"):
             pwc, bank, filtered, dist, rej, euler = self._fused_intra()(
                 self._next_key(), jnp.asarray(image),
                 self.mapdb.X, self.mapdb.desc, self.mapdb.valid,
+                bank_st, bank_pen,
                 self.filter_bank.x, self.filter_bank.P,
                 self.filter_bank.steps, drone=drone,
             )
