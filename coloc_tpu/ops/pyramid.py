@@ -62,8 +62,17 @@ def box_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def _running_mean(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
-    """Mean over k consecutive entries along axis (output length n-k+1)."""
+    """Mean over k consecutive entries along axis (output length n-k+1).
+
+    Small k (the descriptor pre-smooth uses k=5): direct shifted adds — k-1
+    adds, fully fusable. Large k: cumsum prefix difference.
+    """
     n = x.shape[axis]
+    if k <= 7:
+        acc = jax.lax.slice_in_dim(x, 0, n - k + 1, axis=axis)
+        for s in range(1, k):
+            acc = acc + jax.lax.slice_in_dim(x, s, n - k + 1 + s, axis=axis)
+        return acc / k
     csum = jnp.cumsum(x, axis=axis)
     zero = jnp.zeros_like(jax.lax.slice_in_dim(csum, 0, 1, axis=axis))
     csum = jnp.concatenate([zero, csum], axis=axis)
