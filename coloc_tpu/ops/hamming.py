@@ -15,9 +15,12 @@ the 2-NN reduction fuses into the matmul epilogue in a Pallas kernel so the
 Q×T matrix never touches HBM (the HBM write/read of a 5000×5000 i32 matrix
 would cost ~200 MB of bandwidth — more than the FLOPs).
 
-Two paths:
+Paths:
   hamming_2nn_xla    — reference: unpack + jnp.dot + top_k (readable, correct)
   hamming_2nn_pallas — fused tile matmul + running (best, second, argbest)
+  pack_bank / hamming_2nn_bank — device-RESIDENT training bank (setMapData
+  parity): the bank is unpacked once and reused across frames, removing the
+  per-call unpack of large landmark banks from the per-frame hot path.
 """
 
 from __future__ import annotations
