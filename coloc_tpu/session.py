@@ -374,8 +374,14 @@ class ColocSession:
         frames: Dict[int, list],       # drone -> list of images
         inter_every: int = 10,
         update_map_every: int = 0,
+        auto_update_map: bool = True,
     ) -> Dict[int, list]:
-        """mainThread parity (coloc.hpp:96-148). Returns per-drone pose lists."""
+        """mainThread parity (coloc.hpp:96-148). Returns per-drone pose lists.
+
+        `auto_update_map`: rebuild the map from the current frames whenever
+        EVERY drone fails to localize in a frame — the map-degradation
+        recovery the reference implements in updateMap (coloc.hpp:394-459,
+        SURVEY §5 failure handling)."""
         cfg = self.config
         num_frames = min(len(v) for v in frames.values())
         out = {d: [] for d in range(cfg.num_drones)}
@@ -389,10 +395,17 @@ class ColocSession:
 
         for frame_idx in range(f, num_frames):
             self.frame = frame_idx
+            results = []
             for d in range(cfg.num_drones):
-                out[d].append(self.intra_pose(d, frames[d][frame_idx]))
+                results.append(self.intra_pose(d, frames[d][frame_idx]))
+                out[d].append(results[-1])
             if inter_every and frame_idx % inter_every == 0 and cfg.num_drones >= 2:
                 self.inter_pose(0, 1, {d: frames[d][frame_idx] for d in range(cfg.num_drones)})
-            if update_map_every and frame_idx % update_map_every == 0:
-                self.update_map({d: frames[d][frame_idx] for d in range(cfg.num_drones)})
+            all_failed = not any(bool(r.success) for r in results)
+            if (update_map_every and frame_idx % update_map_every == 0) or (
+                auto_update_map and all_failed
+            ):
+                self.update_map(
+                    {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
+                )
         return out

@@ -158,3 +158,55 @@ class TestAcceptSemantics:
         opts = MatcherOptions(mode="margin", margin_threshold=60)
         m = match_with_map(self._features(qd), mapdb, opts)
         np.testing.assert_array_equal(np.asarray(m.idx), np.arange(100, 140))
+
+
+class TestResidentBank:
+    def test_bank_path_matches_direct(self, rng):
+        """pack_bank + hamming_2nn_bank must reproduce hamming_2nn_xla."""
+        qd = random_desc(rng, 80)
+        td = random_desc(rng, 300)
+        qv = jnp.asarray(rng.random(80) > 0.1)
+        tv = jnp.asarray(rng.random(300) > 0.1)
+        bank = hamming.pack_bank(td, tv)
+        bi, bb, bs = hamming.hamming_2nn_bank(qd, qv, bank, interpret=True)
+        xi, xb, xs = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        np.testing.assert_array_equal(np.asarray(bb), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(bs), np.asarray(xs))
+
+
+class TestNFAOracle:
+    def test_nfa_matches_bruteforce(self, rng):
+        """nfa_scores must agree with a direct numpy evaluation of the
+        a-contrario formula for every model."""
+        from scipy.special import gammaln as _g  # scipy is available? guard
+        from coloc_tpu.ransac import nfa_scores
+
+        Hm, M, S = 5, 40, 5
+        res_sq = rng.uniform(0.0001, 4.0, (Hm, M)).astype(np.float32)
+        valid = rng.random(M) > 0.15
+        log_a0 = -2.0
+
+        score, thr = nfa_scores(
+            jnp.asarray(res_sq), jnp.asarray(valid), S, log_a0, 1.0,
+        )
+        # numpy oracle
+        n = valid.sum()
+        import math
+
+        def logC(a, b):
+            return (math.lgamma(a + 1) - math.lgamma(b + 1)
+                    - math.lgamma(a - b + 1)) / math.log(10)
+
+        for h in range(Hm):
+            r = np.sort(np.where(valid, res_sq[h], np.inf))
+            best = np.inf
+            bthr = None
+            for k in range(S + 1, n + 1):
+                e = math.sqrt(r[k - 1])
+                v = (math.log10(n - S) + logC(n, k) + logC(k, S)
+                     + (k - S) * (log_a0 + math.log10(e)))
+                if v < best:
+                    best = v
+                    bthr = r[k - 1]
+            assert float(score[h]) == pytest.approx(best, rel=1e-3, abs=1e-2)
+            assert float(thr[h]) == pytest.approx(bthr, rel=1e-4)
