@@ -100,15 +100,18 @@ def main():
         return pwc
 
     @jax.jit
-    def loop(key, xy0):
+    def loop(key, desc0):
         def body(i, carry):
-            k, xy = carry
+            k, desc = carry
             k1, k2 = jax.random.split(k)
-            pwc = match_localize_op(k1, feats0._replace(xy=xy))
-            # feedback: the next iteration's keypoints depend on this output
-            xy_next = feats0.xy + (pwc.rmse * 1e-7 + pwc.pose.C[0] * 1e-9)
-            return (k2, xy_next)
-        return jax.lax.fori_loop(0, iters, body, (key, xy0))
+            pwc = match_localize_op(k1, feats0._replace(desc=desc))
+            # feedback THROUGH THE MATCHER: xor the descriptors with a
+            # data-dependent runtime-zero so the match stage cannot be
+            # hoisted out of the loop (it reads desc, which depends on the
+            # previous iteration's pose)
+            zero = jnp.where(pwc.pose.C[0] < 1e30, 0, 1).astype(jnp.uint32)
+            return (k2, feats0.desc ^ zero)
+        return jax.lax.fori_loop(0, iters, body, (key, desc0))
 
     def full_frame_op(key, image):
         feats = detect_and_describe(image, config.detector)
@@ -130,12 +133,12 @@ def main():
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    out = jax.block_until_ready(loop(key, feats0.xy))
+    out = jax.block_until_ready(loop(key, feats0.desc))
     out2 = jax.block_until_ready(loop_full(key, img))
     compile_s = time.time() - t0
 
     t0 = time.time()
-    out = jax.block_until_ready(loop(key, feats0.xy))
+    out = jax.block_until_ready(loop(key, feats0.desc))
     dt = (time.time() - t0) / iters
 
     t0 = time.time()

@@ -44,21 +44,6 @@ def _ring_stack(image: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _consecutive9(flags: jnp.ndarray) -> jnp.ndarray:
-    """flags (16, H, W) bool -> (16, H, W) bool: arc of 9 starting at k all set.
-
-    Doubling cascade: run2[k] = f[k] & f[k+1]; run4 = run2[k] & run2[k+2];
-    run8 = run4[k] & run4[k+4]; run9 = run8[k] & f[k+8] (indices mod 16).
-    """
-    def rot(a, s):
-        return jnp.roll(a, -s, axis=0)
-
-    run2 = flags & rot(flags, 1)
-    run4 = run2 & rot(run2, 2)
-    run8 = run4 & rot(run4, 4)
-    return run8 & rot(flags, 8)
-
-
 def _arc_min9(vals: jnp.ndarray) -> jnp.ndarray:
     """vals (16, H, W) -> (16, H, W): min over the 9-arc starting at k."""
     def rot(a, s):

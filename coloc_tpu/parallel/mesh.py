@@ -142,6 +142,7 @@ def sharded_map_match(mesh: Mesh, opts):
        axis 0, shard_valid (L,)) -> (idx (Q,) GLOBAL landmark index, best,
        second) with CUDAK2NN semantics.
     """
+    from coloc_tpu.matching import _accept
     from coloc_tpu.ops import hamming
 
     axis = DRONE_AXIS  # reuse the mesh axis; semantically the "map" axis here
@@ -166,7 +167,7 @@ def sharded_map_match(mesh: Mesh, opts):
         g_idx = all_idx[d_best, q_ar]
         masked_bests = jnp.where(
             jnp.arange(all_best.shape[0])[:, None] == d_best[None, :],
-            jnp.int32(2048), all_best,
+            jnp.int32(hamming._INVALID_DIST), all_best,
         )
         g_second = jnp.minimum(
             jnp.min(all_second, axis=0), jnp.min(masked_bests, axis=0)
@@ -184,16 +185,8 @@ def sharded_map_match(mesh: Mesh, opts):
     @jax.jit
     def run(q_desc, q_valid, map_desc, map_valid):
         idx, best, second = sharded(q_desc, q_valid, map_desc, map_valid)
-        if opts.mode == "ratio":
-            ok = best.astype(jnp.float32) < opts.dist_ratio * second.astype(
-                jnp.float32
-            )
-        else:
-            ok = (second - best) > opts.margin_threshold
-        ok = ok & q_valid & (best <= 512)
-        from coloc_tpu.types import Matches
-
-        return Matches(idx=jnp.where(ok, idx, -1), best=best, second=second)
+        # single source of truth for accept semantics (matching._accept)
+        return _accept(idx, best, second, q_valid, opts, opts.margin_threshold)
 
     return run
 

@@ -297,13 +297,17 @@ class ColocSession:
             return None
 
         # epipolar-guided residual diagnostics under the known relative pose
-        # (RobustMatcher::matchMaps parity, guidedmatches2.txt log)
+        # (RobustMatcher::matchMaps parity, guidedmatches2.txt log). The F
+        # matrix is built from geo (current src->dst motion), so the
+        # geometrically consistent pixel pair for each matched landmark is
+        # its observation in the TEMP scene's two views (src row 0, dst row
+        # 1) — not the bootstrap-era map observation.
         if self.out_dir:
             res = utils.guided_match_residuals(
                 self.cams[src].K, self.cams[dst].K, geo.R, geo.t,
-                self.scene.obs[0][jnp.arange(self.mapdb.capacity)],
+                temp.obs[0][mm.idx],
                 temp.obs[1][mm.idx],
-                mm.mask & self.mapdb.valid,
+                mm.mask & self.mapdb.valid & temp.X_valid[mm.idx],
             )
             res_np = np.asarray(res)
             with open(
@@ -374,14 +378,17 @@ class ColocSession:
         frames: Dict[int, list],       # drone -> list of images
         inter_every: int = 10,
         update_map_every: int = 0,
-        auto_update_map: bool = True,
+        auto_update_map: bool = False,
+        auto_update_patience: int = 3,
     ) -> Dict[int, list]:
         """mainThread parity (coloc.hpp:96-148). Returns per-drone pose lists.
 
-        `auto_update_map`: rebuild the map from the current frames whenever
-        EVERY drone fails to localize in a frame — the map-degradation
-        recovery the reference implements in updateMap (coloc.hpp:394-459,
-        SURVEY §5 failure handling)."""
+        `auto_update_map` (opt-in; the reference never auto-triggers
+        updateMap): rebuild the map from the current frames after
+        `auto_update_patience` CONSECUTIVE frames where every drone failed to
+        localize — map-degradation recovery in the spirit of updateMap
+        (coloc.hpp:394-459) without discarding a good map on one bad frame
+        (the KF coasts through transients)."""
         cfg = self.config
         num_frames = min(len(v) for v in frames.values())
         out = {d: [] for d in range(cfg.num_drones)}
@@ -393,6 +400,7 @@ class ColocSession:
         if not self.map_ready:
             return out
 
+        consecutive_failures = 0
         for frame_idx in range(f, num_frames):
             self.frame = frame_idx
             results = []
@@ -401,10 +409,18 @@ class ColocSession:
                 out[d].append(results[-1])
             if inter_every and frame_idx % inter_every == 0 and cfg.num_drones >= 2:
                 self.inter_pose(0, 1, {d: frames[d][frame_idx] for d in range(cfg.num_drones)})
-            all_failed = not any(bool(r.success) for r in results)
-            if (update_map_every and frame_idx % update_map_every == 0) or (
-                auto_update_map and all_failed
-            ):
+            trigger = update_map_every and frame_idx % update_map_every == 0
+            if auto_update_map:
+                # note: reading success forces a host sync — only done when
+                # the auto-recovery feature is enabled
+                if not any(bool(r.success) for r in results):
+                    consecutive_failures += 1
+                else:
+                    consecutive_failures = 0
+                if consecutive_failures >= auto_update_patience:
+                    trigger = True
+                    consecutive_failures = 0
+            if trigger:
                 self.update_map(
                     {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
                 )

@@ -178,7 +178,6 @@ class TestNFAOracle:
     def test_nfa_matches_bruteforce(self, rng):
         """nfa_scores must agree with a direct numpy evaluation of the
         a-contrario formula for every model."""
-        from scipy.special import gammaln as _g  # scipy is available? guard
         from coloc_tpu.ransac import nfa_scores
 
         Hm, M, S = 5, 40, 5
