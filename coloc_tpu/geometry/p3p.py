@@ -7,7 +7,7 @@ formulation because it reduces to (a) a quartic whose coefficients come from
 pure polynomial arithmetic and (b) a 3-point Horn alignment — both of which
 batch/vmap cleanly on TPU with no data-dependent branching.
 
-The quartic is solved by fixed-iteration Durand-Kerner (complex64, 40 steps,
+The quartic is solved by fixed-iteration Durand-Kerner (complex64, 24 steps,
 trace-static) + 2 Newton polish steps — no closed-form case analysis, no
 nonsymmetric eigensolve (unsupported on TPU).
 
@@ -36,7 +36,7 @@ def _polymul(p, q):
     return res
 
 
-def _durand_kerner_quartic(coeffs: jnp.ndarray, iters: int = 40) -> jnp.ndarray:
+def _durand_kerner_quartic(coeffs: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
     """Roots of c0 + c1 v + c2 v^2 + c3 v^3 + c4 v^4, (4,) complex64."""
     c = coeffs / (coeffs[4] + jnp.where(jnp.abs(coeffs[4]) < 1e-20, 1e-20, 0.0))
 
