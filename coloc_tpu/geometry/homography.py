@@ -22,14 +22,23 @@ import jax.numpy as jnp
 
 
 
-def four_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-    """DLT homography from N>=4 correspondences; returns H (3,3), x2 ~ H x1."""
+def four_point(
+    x1: jnp.ndarray, x2: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """DLT homography from N>=4 correspondences; returns H (3,3), x2 ~ H x1.
+
+    `weights` (M,) enables a masked least-squares refit over an inlier set
+    (rows scaled by sqrt(w))."""
     x, y = x1[:, 0], x1[:, 1]
     u, v = x2[:, 0], x2[:, 1]
     zero = jnp.zeros_like(x)
     one = jnp.ones_like(x)
     r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y, -u], axis=-1)
     r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y, -v], axis=-1)
+    if weights is not None:
+        sw = jnp.sqrt(weights)[:, None]
+        r1 = r1 * sw
+        r2 = r2 * sw
     A = jnp.concatenate([r1, r2], axis=0)  # (2N, 9)
     _, vecs = jnp.linalg.eigh(A.T @ A)
     H = vecs[:, 0].reshape(3, 3)

@@ -13,9 +13,10 @@ AC-RANSAC's adaptive NFA threshold; the acceptance gate is the same
 top of AC-RANSAC (RobustMatcher.hpp:147,175,210). An a-contrario scored
 variant can be layered on the same batched machinery later.
 
-Degenerate-sample hygiene: duplicate indices inside one minimal sample simply
-produce degenerate models that score few inliers — they lose the argmax, so no
-rejection branch is needed (fixed-shape philosophy).
+Degenerate-sample hygiene: minimal samples are drawn WITHOUT replacement
+(Floyd's algorithm, fixed-shape) so no hypothesis budget is burned on
+duplicate-index degenerate models — matching the reference's UniformSample
+semantics (OpenMVG robust_estimation).
 """
 
 from __future__ import annotations
@@ -85,20 +86,39 @@ def nfa_scores(
     return score, thr_sq
 
 
+def _distinct_positions(u: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Floyd's algorithm: S distinct uniform positions in [0, n) from S
+    uniforms. Fixed shape, O(S^2) compares (S <= 8 in practice)."""
+    S = u.shape[0]
+    nf = jnp.maximum(n, S).astype(jnp.int32)  # n < S: distinct impossible
+    picks = jnp.zeros((S,), jnp.int32)
+    for j in range(S):
+        m = nf - S + j + 1  # draw t in [0, m)
+        t = jnp.floor(u[j] * m.astype(jnp.float32)).astype(jnp.int32)
+        t = jnp.clip(t, 0, m - 1)
+        if j > 0:
+            collide = jnp.any(picks[:j] == t)
+            t = jnp.where(collide, nf - S + j, t)
+        picks = picks.at[j].set(t)
+    # if n < S, clamp into the valid range (duplicates unavoidable; such a
+    # bank can never pass the >= 2.5*S inlier gate anyway)
+    return jnp.clip(picks, 0, jnp.maximum(n - 1, 0))
+
+
 def sample_indices(
     key: jax.Array, valid: jnp.ndarray, num_samples: int, sample_size: int
 ) -> jnp.ndarray:
-    """(B, S) indices drawn from the valid entries of a fixed-size bank.
+    """(B, S) indices drawn WITHOUT replacement from the valid entries of a
+    fixed-size bank.
 
     Permutation-free trick: argsort(~valid) packs valid indices first; draw
-    uniform [0, n_valid) positions into that packed list. Duplicates within a
-    sample are allowed (they yield degenerate, losing models).
+    distinct uniform [0, n_valid) positions (Floyd) into that packed list so
+    no sample wastes its hypothesis on a duplicate-index degenerate model.
     """
     order = jnp.argsort(~valid)  # valid entries first, stable
     n_valid = jnp.sum(valid.astype(jnp.int32))
     u = jax.random.uniform(key, (num_samples, sample_size))
-    pos = jnp.floor(u * jnp.maximum(n_valid, 1).astype(jnp.float32)).astype(jnp.int32)
-    pos = jnp.clip(pos, 0, jnp.maximum(n_valid - 1, 0))
+    pos = jax.vmap(lambda uu: _distinct_positions(uu, n_valid))(u)
     return order[pos]
 
 

@@ -248,6 +248,19 @@ def relative_pose_homography(
         scoring=opts.scoring, log_alpha0=jnp.log10(jnp.pi / A_n),
         error_dim=2.0,
     )
+    # least-squares re-fit over the inlier set before decomposition (the
+    # minimal 4-point H limits translation-direction accuracy; same
+    # keep-if-better pattern as the E/F paths)
+    H_refit = homog.four_point(x1, x2, weights=res.inliers.astype(jnp.float32))
+    refit_inl = (scorer(H_refit, x1, x2) < thr_sq) & mask
+    better = jnp.sum(refit_inl) >= res.n_inliers
+    res = res._replace(
+        model=jnp.where(better, H_refit, res.model),
+        inliers=jnp.where(better, refit_inl, res.inliers),
+        n_inliers=jnp.where(
+            better, jnp.sum(refit_inl.astype(jnp.int32)), res.n_inliers
+        ),
+    )
     R, t, _n, chirality_ok = homog.decompose_homography(
         res.model, x1, x2, res.inliers, opts.chirality_ratio
     )

@@ -300,3 +300,36 @@ def _pose_covariance(
     Sinv = _spd_inv(S_full)
     i = cov_view * 6
     return jax.lax.dynamic_slice(Sinv, (i, i), (6, 6))
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def refine_pose_only(
+    R0: jnp.ndarray,        # (3, 3) initial rotation
+    C0: jnp.ndarray,        # (3,) initial center
+    X: jnp.ndarray,         # (L, 3) fixed structure
+    uv: jnp.ndarray,        # (L, 2) distorted pixel observations
+    inliers: jnp.ndarray,   # (L,) bool
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    opts: RefinerOptions,
+) -> BAResult:
+    """Single-pose refinement with structure fixed (Localizer.hpp:132-133 /
+    resection-polish pattern): a 2-view problem whose view 0 is a fixed dummy
+    so cov_view=1 matches the reference's pose-block-1 covariance extraction
+    (Refiner.hpp:188). Returns the full BAResult; the pose is (Rs[1], Cs[1])."""
+    L = X.shape[0]
+    problem = BAProblem(
+        Rs=jnp.stack([jnp.eye(3), R0]),
+        Cs=jnp.stack([jnp.zeros(3), C0]),
+        X=X,
+        obs=jnp.stack([jnp.zeros((L, 2)), uv]),
+        obs_mask=jnp.stack([jnp.zeros(L, bool), inliers]),
+        Ks=jnp.stack([K, K]),
+        dists=jnp.stack([dist, dist]),
+    )
+    return refine(
+        problem, opts,
+        fix_pose=jnp.asarray([True, False]),
+        optimize_structure=False,
+        cov_view=1,
+    )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from coloc_tpu.config import RansacOptions, RefinerOptions
 from coloc_tpu.geometry import camera as cam_ops
 from coloc_tpu.robust import absolute_pose_p3p
-from coloc_tpu.sfm.ba import BAProblem, refine
+from coloc_tpu.sfm.ba import refine_pose_only
 from coloc_tpu.types import Features, MapDB, Matches, Pose, PoseWithCov
 
 
@@ -47,24 +47,9 @@ def localize_image(
         key, X, uv, corr_mask, cam, ransac_opts
     )
 
-    # pose-only refinement, structure fixed (Localizer.hpp:132-133): a BA
-    # problem with V=2 where view 0 is a fixed dummy so cov_view=1 matches
-    # the reference's "pose block 1" covariance extraction (Refiner.hpp:188)
-    L = X.shape[0]
-    problem = BAProblem(
-        Rs=jnp.stack([jnp.eye(3), pose0.R]),
-        Cs=jnp.stack([jnp.zeros(3), pose0.C]),
-        X=X,
-        obs=jnp.stack([jnp.zeros((L, 2)), uv]),
-        obs_mask=jnp.stack([jnp.zeros(L, bool), inliers]),
-        Ks=jnp.stack([cam.K, cam.K]),
-        dists=jnp.stack([cam.dist, cam.dist]),
-    )
-    res = refine(
-        problem, refiner_opts,
-        fix_pose=jnp.asarray([True, False]),
-        optimize_structure=False,
-        cov_view=1,
+    # pose-only refinement, structure fixed (Localizer.hpp:132-133)
+    res = refine_pose_only(
+        pose0.R, pose0.C, X, uv, inliers, cam.K, cam.dist, refiner_opts
     )
     pose = Pose(R=res.Rs[1], C=res.Cs[1])
 

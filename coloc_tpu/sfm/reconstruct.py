@@ -151,92 +151,37 @@ def scene_to_mapdb(scene: Scene) -> MapDB:
     return MapDB(X=scene.X, desc=scene.desc, valid=scene.X_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("num_landmarks",))
-def triangulate_new_landmarks(
-    scene: Scene,
-    feats_i: Features,        # seed view (landmark-slot keyed)
-    feats_v: Features,        # newly posed view
-    matches_iv: Matches,      # seed -> new view matches
-    inliers: jnp.ndarray,     # robust inlier mask over matches
-    view_i: int,
-    view_slot: jnp.ndarray,   # () int32 row of the new view
-    pose_v: Pose,
-    cam_i: cam_ops.Camera,
-    cam_v: cam_ops.Camera,
-    num_landmarks: int,
-) -> Scene:
-    """Triangulate (seed, new-view) matches into currently-EMPTY landmark
-    slots (resectionCamera's new-point triangulation, Reconstructor.hpp:
-    354-412: ray angle > 2 deg, positive depths, |Z| < 1000 gates).
-
-    Landmark slots are keyed by seed-view feature index, so a match at seed
-    feature q fills slot q iff that slot is still invalid.
-    """
-    L = num_landmarks
-    pose_i = Pose(R=scene.Rs[view_i], C=scene.Cs[view_i])
-
-    uv_i = feats_i.xy
-    uv_v = feats_v.xy[matches_iv.idx]
-    x_i = cam_ops.undistort(cam_i, cam_ops.normalize(cam_i, uv_i))
-    x_v = cam_ops.undistort(cam_v, cam_ops.normalize(cam_v, uv_v))
-    X = tri.triangulate_points(pose_i.R, pose_i.C, x_i, pose_v.R, pose_v.C, x_v)
-
-    d_i = tri.depth_in_view(pose_i.R, pose_i.C, X)
-    d_v = tri.depth_in_view(pose_v.R, pose_v.C, X)
-    ang = tri.ray_angle_deg(pose_i.C, pose_v.C, X)
-    # reprojection guard (replaces a per-match robust-inlier prerequisite:
-    # the P3P inlier mask only covers EXISTING landmarks, so new-point
-    # candidates must be vetted geometrically here)
-    reproj_i = jnp.sum(
-        (cam_ops.project(cam_i, pose_i.R, pose_i.C, X) - uv_i) ** 2, axis=-1
+@jax.jit
+def _triangulate_pair(
+    Ra, Ca, Rb, Cb,
+    cam_a: cam_ops.Camera,
+    cam_b: cam_ops.Camera,
+    uv_a: jnp.ndarray,        # (L, 2) distorted pixels in view a
+    uv_b: jnp.ndarray,        # (L, 2) distorted pixels in view b
+    vis: jnp.ndarray,         # (L,) bool candidate mask
+    max_z,                    # |Z| gate (100 bootstrap / 1000 resection)
+    min_angle_deg,            # ray-angle gate (0 bootstrap / 2 resection)
+    reproj_max_sq,            # reprojection gate in px^2 (inf bootstrap / 16)
+):
+    """Masked DLT of one view pair with the Reconstructor gates
+    (Reconstructor.hpp:225-237 bootstrap, :354-412 resection).
+    Returns (X (L, 3), ok (L,) bool)."""
+    x_a = cam_ops.undistort(cam_a, cam_ops.normalize(cam_a, uv_a))
+    x_b = cam_ops.undistort(cam_b, cam_ops.normalize(cam_b, uv_b))
+    X = tri.triangulate_points(Ra, Ca, x_a, Rb, Cb, x_b)
+    d_a = tri.depth_in_view(Ra, Ca, X)
+    d_b = tri.depth_in_view(Rb, Cb, X)
+    ang = tri.ray_angle_deg(Ca, Cb, X)
+    reproj_a = jnp.sum((cam_ops.project(cam_a, Ra, Ca, X) - uv_a) ** 2, -1)
+    reproj_b = jnp.sum((cam_ops.project(cam_b, Rb, Cb, X) - uv_b) ** 2, -1)
+    ok = (
+        vis
+        & (d_a > 0.0) & (d_b > 0.0)
+        & (ang >= min_angle_deg)
+        & (jnp.abs(X[:, 2]) < max_z)
+        & (reproj_a < reproj_max_sq) & (reproj_b < reproj_max_sq)
     )
-    reproj_v = jnp.sum(
-        (cam_ops.project(cam_v, pose_v.R, pose_v.C, X) - uv_v) ** 2, axis=-1
-    )
-    gates = (
-        (d_i > 0.0) & (d_v > 0.0)
-        & (ang > _MIN_RAY_ANGLE_DEG)
-        & (jnp.abs(X[:, 2]) < _MAX_Z_RESECTION)
-        & (reproj_i < 16.0) & (reproj_v < 16.0)
-    )
-    ok = matches_iv.mask & inliers & feats_i.valid & gates
-
-    def fit(a):
-        return a[:L] if a.shape[0] >= L else jnp.pad(
-            a, ((0, L - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
-        )
-
-    ok = fit(ok) & ~scene.X_valid  # only fill EMPTY slots
-    Xl = jnp.where(ok[:, None], fit(X), scene.X)
-    X_valid = scene.X_valid | ok
-
-    obs_i = jnp.where(ok[:, None], fit(uv_i), scene.obs[view_i])
-    obs_v_new = jnp.where(ok[:, None], fit(uv_v), scene.obs[view_slot])
-    obs = scene.obs.at[view_i].set(obs_i).at[view_slot].set(obs_v_new)
-    obs_mask = (
-        scene.obs_mask
-        .at[view_i].set(scene.obs_mask[view_i] | ok)
-        .at[view_slot].set(scene.obs_mask[view_slot] | ok)
-    )
-    desc = jnp.where(ok[:, None], fit(feats_i.desc), scene.desc)
-    return scene._replace(X=Xl, X_valid=X_valid, obs=obs, obs_mask=obs_mask,
-                          desc=desc)
-
-
-def invert_matches(m: Matches, capacity_train: int) -> Matches:
-    """Flip match direction: train-indexed view of a query->train mapping.
-
-    Masked entries scatter to a DUMMY slot one past the end (then sliced
-    off) so they can never clobber a live train index. best/second stay
-    query-indexed in the reference convention and are not meaningful after
-    inversion; they are zeroed."""
-    q = jnp.arange(m.idx.shape[0], dtype=jnp.int32)
-    safe = jnp.where(m.mask, m.idx, capacity_train)  # dummy slot
-    inv = jnp.full((capacity_train + 1,), -1, jnp.int32).at[safe].set(
-        jnp.where(m.mask, q, -1)
-    )[:capacity_train]
-    zeros = jnp.zeros((capacity_train,), jnp.int32)
-    return Matches(idx=inv, best=zeros, second=zeros)
+    return jnp.where(ok[:, None], X, 0.0), ok
 
 
 def reconstruct_scene(
@@ -252,135 +197,133 @@ def reconstruct_scene(
     refiner_opts,
     ransac_opts,
 ) -> Tuple[Scene, "BAResult"]:
-    """Full multi-view incremental reconstruction (reconstructScene parity,
-    Reconstructor.hpp:102-164).
+    """Full multi-view TRACK-BASED incremental reconstruction
+    (reconstructScene parity, Reconstructor.hpp:102-164).
 
     Host-orchestrated events over jitted device steps:
-      1. seed pair = argmax geometric-inlier count (:112-118)
-      2. two-view triangulation with world origin at the seed-first view and
-         the relative translation scaled by `scale` (:185-239)
-      3. every remaining view: P3P resection from seed-keyed 2D-3D
-         correspondences + observation extension + new-landmark triangulation
-         with the resection gates (:259-415)
-      4. final bundle adjustment (:150-161)
+      1. union-find tracks over ALL geometric-inlier pairwise matches
+         (TracksBuilder, Reconstructor.hpp:166-173) — landmark slots are
+         keyed by TRACK id, so a point never seen by the seed view can still
+         become a landmark
+      2. seed pair = argmax geometric-inlier count (:112-118); two-view
+         triangulation with world origin at the seed-first view and the
+         relative translation scaled by `scale` (:185-239)
+      3. remaining views in best-track-overlap order: P3P resection from the
+         track-keyed 2D-3D intersection with the current map (:262-306),
+         pose-only polish (SfM_Localizer refine step), then new-landmark
+         triangulation against EVERY already-posed partner view with the
+         resection gates (:354-412)
+      4. final bundle adjustment, seed pose fixed (:150-161)
     """
-    import jax as _jax
+    import numpy as np
 
     from coloc_tpu.robust import absolute_pose_p3p
+    from coloc_tpu.sfm import tracks as tracks_mod
+    from coloc_tpu.sfm.ba import refine_pose_only
 
     V = len(features)
-    # 1. seed pair
+    cap = features[0].capacity
+    L = num_landmarks
+
+    # 1. tracks over geometric-inlier-gated matches
+    gated = {}
+    for (a, b), m in pair_matches.items():
+        idx = np.asarray(m.idx)
+        ok = idx >= 0
+        if (a, b) in pair_geo:
+            ok &= np.asarray(pair_geo[(a, b)].inliers)
+        gated[(a, b)] = np.where(ok, idx, -1)
+    table, tvalid = tracks_mod.build_tracks(gated, V, cap, L)  # (L, V), (L,)
+
+    # 2. seed pair
     seed = max(pair_geo, key=lambda p: int(pair_geo[p].n_inliers))
     i, j = seed
     geo = pair_geo[seed]
-
-    # 2. bootstrap (scene view rows: row 0 = view i, row 1 = view j, then
-    # remaining views in index order)
     order = [i, j] + [v for v in range(V) if v not in (i, j)]
-    row_of = {v: r for r, v in enumerate(order)}
 
-    two = two_view_scene(
-        features[i], features[j], pair_matches[seed], geo.inliers,
-        geo.R, geo.t, Pose(R=jnp.eye(3), C=jnp.zeros(3)), scale,
-        cams[i], cams[j], num_landmarks=num_landmarks,
-    )
-    # widen to V view rows
-    scene = Scene(
-        Rs=jnp.concatenate([two.Rs, jnp.tile(jnp.eye(3)[None], (V - 2, 1, 1))]),
-        Cs=jnp.concatenate([two.Cs, jnp.zeros((V - 2, 3))]),
-        X=two.X, X_valid=two.X_valid,
-        obs=jnp.concatenate([two.obs, jnp.zeros((V - 2,) + two.obs.shape[1:])]),
-        obs_mask=jnp.concatenate(
-            [two.obs_mask, jnp.zeros((V - 2,) + two.obs_mask.shape[1:], bool)]
-        ),
-        desc=two.desc,
-    )
+    # per-slot observations from the track table (scene row r = view order[r])
+    dw = features[0].desc.shape[-1]
+    obs = np.zeros((V, L, 2), np.float32)
+    obs_mask = np.zeros((V, L), bool)
+    desc = np.zeros((L, dw), np.uint32)
+    desc_set = np.zeros(L, bool)
+    for r, v in enumerate(order):
+        fi = table[:, v]
+        safe = np.clip(fi, 0, cap - 1)
+        has = tvalid & (fi >= 0) & np.asarray(features[v].valid)[safe]
+        obs[r] = np.where(has[:, None], np.asarray(features[v].xy)[safe], 0.0)
+        obs_mask[r] = has
+        newly = has & ~desc_set  # first-observation descriptor convention
+        desc[newly] = np.asarray(features[v].desc)[safe[newly]]
+        desc_set |= newly
 
-    # 3. resect remaining views from seed-keyed correspondences
-    for v in order[2:]:
-        if (i, v) in pair_matches:
-            m_iv = pair_matches[(i, v)]
-        elif (v, i) in pair_matches:
-            m_iv = invert_matches(pair_matches[(v, i)], features[i].capacity)
-        else:
-            continue
-        # 2D-3D: landmark slot = seed feature index (track through the seed)
-        lm_idx = jnp.arange(features[i].capacity)
-        lm_ok = m_iv.mask & scene.X_valid[: features[i].capacity]
-        X_corr = scene.X[lm_idx]
-        uv_corr = features[v].xy[m_iv.idx]
-        key, sub = _jax.random.split(key)
+    # seed poses: world origin at view i, rel pose scaled by `scale`
+    pose_j = se3.relative_to_absolute(
+        Pose(R=geo.R, C=-geo.R.T @ geo.t),
+        Pose(R=jnp.eye(3), C=jnp.zeros(3)), scale=scale,
+    )
+    Rs = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    Cs = np.zeros((V, 3), np.float32)
+    Rs[1] = np.asarray(pose_j.R)
+    Cs[1] = np.asarray(pose_j.C)
+
+    # seed triangulation: tracks observed by both seed views
+    X, ok = _triangulate_pair(
+        Rs[0], Cs[0], Rs[1], Cs[1], cams[i], cams[j],
+        obs[0], obs[1], jnp.asarray(obs_mask[0] & obs_mask[1]),
+        _MAX_Z_BOOTSTRAP, 0.0, jnp.inf,
+    )
+    X = np.array(X)          # writable host copies (np.asarray of a JAX
+    X_valid = np.array(ok)   # array is read-only)
+    posed = [True, True] + [False] * (V - 2)
+
+    # 3. resect remaining views, best track-overlap with the map first
+    remaining = list(range(2, V))
+    while remaining:
+        r = max(remaining, key=lambda rr: int((obs_mask[rr] & X_valid).sum()))
+        remaining.remove(r)
+        v = order[r]
+        corr = jnp.asarray(obs_mask[r] & X_valid)
+        key, sub = jax.random.split(key)
         pose_v, inl, n_inl, success = absolute_pose_p3p(
-            sub, X_corr, uv_corr, lm_ok, cams[v], ransac_opts
+            sub, jnp.asarray(X), jnp.asarray(obs[r]), corr, cams[v],
+            ransac_opts,
         )
         if not bool(success):
+            obs_mask[r] = False  # failed view contributes nothing to BA
             continue
-        # matches_iv maps seed-q -> v-feature; build a Matches whose idx maps
-        # landmark slot (= q) to the v feature for observation scatter
-        obs_matches = Matches(
-            idx=jnp.arange(features[i].capacity, dtype=jnp.int32),
-            best=m_iv.best, second=m_iv.second,
+        res_v = refine_pose_only(
+            pose_v.R, pose_v.C, jnp.asarray(X), jnp.asarray(obs[r]), inl,
+            cams[v].K, cams[v].dist, refiner_opts,
         )
-        scene = resect_and_extend(
-            scene,
-            feats_new=features[v]._replace(
-                xy=features[v].xy[m_iv.idx],
-                valid=features[v].valid[m_iv.idx] & m_iv.mask,
-            ),
-            map_matches=obs_matches._replace(
-                idx=jnp.where(lm_ok & inl, obs_matches.idx, -1)
-            ),
-            pose_new=pose_v,
-            pose_inliers=inl,
-            cam_new=cams[v],
-            view_slot=jnp.int32(row_of[v]),
-        )
-        scene = triangulate_new_landmarks(
-            scene, features[i], features[v], m_iv,
-            jnp.ones_like(m_iv.mask), 0,
-            jnp.int32(row_of[v]), pose_v, cams[i], cams[v],
-            num_landmarks=num_landmarks,
-        )
+        Rs[r] = np.asarray(res_v.Rs[1])
+        Cs[r] = np.asarray(res_v.Cs[1])
+        posed[r] = True
+        # new landmarks: still-empty tracks shared with ANY posed partner
+        for w in [rw for rw in range(V) if posed[rw] and rw != r]:
+            vis = obs_mask[w] & obs_mask[r] & ~X_valid
+            if not vis.any():
+                continue
+            Xn, okn = _triangulate_pair(
+                Rs[w], Cs[w], Rs[r], Cs[r], cams[order[w]], cams[v],
+                obs[w], obs[r], jnp.asarray(vis),
+                _MAX_Z_RESECTION, _MIN_RAY_ANGLE_DEG, 16.0,
+            )
+            okn = np.asarray(okn)
+            X = np.where(okn[:, None], np.asarray(Xn), X)
+            X_valid |= okn
 
-    # 4. final BA (first pose fixed)
+    # 4. final BA (seed pose fixed; failed views pinned with no observations)
+    scene = Scene(
+        Rs=jnp.asarray(Rs), Cs=jnp.asarray(Cs),
+        X=jnp.asarray(X), X_valid=jnp.asarray(X_valid),
+        obs=jnp.asarray(obs), obs_mask=jnp.asarray(obs_mask),
+        desc=jnp.asarray(desc),
+    )
     order_idx = jnp.asarray(order)
-    fix = jnp.asarray([True] + [False] * (V - 1))
+    fix = jnp.asarray([True] + [not posed[r] for r in range(1, V)])
     scene, res = refine_scene(
         scene, Ks[order_idx], dists[order_idx], refiner_opts, fix,
         cov_view=1,
     )
     return scene, res
-
-
-@functools.partial(jax.jit, static_argnames=())
-def resect_and_extend(
-    scene: Scene,
-    feats_new: Features,
-    map_matches: Matches,     # new-frame features vs scene landmarks
-    pose_new: Pose,           # P3P-estimated pose of the new view (from robust)
-    pose_inliers: jnp.ndarray,
-    cam_new: cam_ops.Camera,
-    view_slot: jnp.ndarray,   # () int32 — which view row to fill
-) -> Scene:
-    """Add observations of an existing scene from a newly resected view
-    (resectionCamera parity, observation part; new-landmark triangulation is
-    handled by the session's update_map path)."""
-    L = scene.capacity
-    K = feats_new.capacity
-
-    # scatter: landmark slot map_matches.idx[q] observed at feats_new.xy[q].
-    # Masked rows scatter to a dummy slot L (sliced off) so duplicate-index
-    # writes cannot clobber a live landmark's observation.
-    lm = map_matches.idx                                  # (K,)
-    ok = map_matches.mask & pose_inliers & feats_new.valid
-    lm_safe = jnp.where(ok, lm, L)
-    obs_v = jnp.zeros((L + 1, 2)).at[lm_safe].set(
-        jnp.where(ok[:, None], feats_new.xy, 0.0)
-    )[:L]
-    mask_v = jnp.zeros((L + 1,), bool).at[lm_safe].set(ok)[:L]
-
-    obs = scene.obs.at[view_slot].set(obs_v)
-    obs_mask = scene.obs_mask.at[view_slot].set(mask_v & scene.X_valid)
-    Rs = scene.Rs.at[view_slot].set(pose_new.R)
-    Cs = scene.Cs.at[view_slot].set(pose_new.C)
-    return scene._replace(Rs=Rs, Cs=Cs, obs=obs, obs_mask=obs_mask)

@@ -232,3 +232,38 @@ class TestHomography:
         assert rot_err_deg(geo.R, R) < 2.0
         t_gt = -np.asarray(R) @ np.asarray(C)
         assert dir_err_deg(geo.t, t_gt) < 2.0
+
+
+class TestSampleIndices:
+    def test_no_duplicates_within_sample(self):
+        from coloc_tpu import ransac as rs
+
+        for m, n_valid, s, seed in [(64, 64, 5, 0), (256, 40, 7, 1), (32, 9, 3, 2)]:
+            valid = jnp.arange(m) < n_valid
+            idx = np.asarray(
+                rs.sample_indices(jax.random.PRNGKey(seed), valid, 512, s)
+            )
+            # all drawn indices point at valid entries
+            assert (idx < n_valid).all()
+            # distinct within every sample (n_valid >= s in all cases)
+            n_unique = np.array([len(set(row)) for row in idx])
+            assert (n_unique == s).all()
+
+    def test_marginal_roughly_uniform(self):
+        from coloc_tpu import ransac as rs
+
+        m, s = 50, 5
+        valid = jnp.ones(m, bool)
+        idx = np.asarray(
+            rs.sample_indices(jax.random.PRNGKey(7), valid, 4000, s)
+        ).ravel()
+        counts = np.bincount(idx, minlength=m)
+        expect = len(idx) / m  # 400
+        assert counts.min() > 0.6 * expect and counts.max() < 1.4 * expect
+
+    def test_fewer_valid_than_sample_size_stays_in_range(self):
+        from coloc_tpu import ransac as rs
+
+        valid = jnp.arange(32) < 2
+        idx = np.asarray(rs.sample_indices(jax.random.PRNGKey(0), valid, 16, 5))
+        assert (idx < 2).all() and (idx >= 0).all()
