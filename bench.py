@@ -67,11 +67,18 @@ def main():
     rng = np.random.default_rng(0)
     L = landmarks
     pad = max(L - kp, 0)
+    # geometrically CONSISTENT map: the first kp landmarks sit on the frame's
+    # feature bearings at random depths (X = d * K^-1 [u, v, 1]), so P3P +
+    # pose refinement run their honest convergent path (a map whose 3D points
+    # contradict the matches makes LM burn its full reject budget instead —
+    # unrepresentative of per-frame localization against a real map)
+    uv0 = np.asarray(feats0.xy)
+    depths = rng.uniform(5.0, 14.0, (kp, 1)).astype(np.float32)
+    dirs = (np.linalg.inv(K) @ np.c_[uv0, np.ones(kp)].T).T.astype(np.float32)
     mapdb = MapDB(
         X=jnp.asarray(
             np.concatenate(
-                [np.c_[rng.uniform(-3, 3, (kp, 2)), rng.uniform(5, 14, (kp, 1))],
-                 rng.uniform(-3, 3, (pad, 3))], axis=0
+                [dirs * depths, rng.uniform(-3, 3, (pad, 3))], axis=0
             )[:L], jnp.float32,
         ),
         desc=jnp.concatenate([

@@ -10,11 +10,11 @@ under Hamming margin) but redesign for TPU:
   - Patch SSDs become point samples on a box-pre-smoothed pyramid level
     (smoothing ≈ patch aggregation, the steered-BRIEF/ORB trick).
   - Like LATCH's patch reuse, triplets draw from a shared POOL of sample
-    points: only `POOL_SIZE` rotated bilinear samples are gathered per
-    keypoint, and the 512 triplets index into that pool with a static table.
-    Gathers are the expensive op on TPU (measured 57 ms/frame for the naive
-    per-triplet sampling vs ~12x fewer samples here); triplet comparisons on
-    the gathered (K, P) matrix are pure VPU work.
+    points: only `POOL_SIZE` rotated samples are taken per keypoint, and the
+    512 triplets index into that pool with a static table. Samples come from
+    per-keypoint patches via one-hot MXU contraction (ops/patches.py) —
+    elementwise gathers are XLA's slow path on TPU; triplet comparisons on
+    the sampled (K, P) matrix are pure VPU work.
   - The pool and triplet tables are generated from a fixed PRNG seed (not the
     learned LATCH table — deliberately not copied from the reference); pool
     points live in a disc of radius 24 px matching LATCH's spatial support.
@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from coloc_tpu.ops import pyramid as pyr_ops
+from coloc_tpu.ops import patches as patch_ops
 from coloc_tpu.ops.hamming import pack_bits
 
 DESC_BITS = 512
@@ -76,18 +76,22 @@ def _make_tables(seed: int = _TABLE_SEED):
 _POOL, _TRIPLETS = _make_tables()  # module-level constants, baked into traces
 
 
-def describe(
-    flat_smooth: jnp.ndarray,   # flattened box-smoothed pyramid
-    bases: jnp.ndarray,
-    heights: jnp.ndarray,
-    widths: jnp.ndarray,
+def describe_from_patches(
+    patches: jnp.ndarray,       # (K, PH, PW) box-smoothed per-keypoint windows
     kp_x: jnp.ndarray,          # (K,) level-local x
     kp_y: jnp.ndarray,          # (K,) level-local y
-    kp_level: jnp.ndarray,      # (K,) int32
     kp_angle: jnp.ndarray,      # (K,) radians
+    w_l: jnp.ndarray,           # (K,) level width/height (float, clamping)
+    h_l: jnp.ndarray,
+    col0: jnp.ndarray,          # (K,) patch origin (level-local col / row)
+    row0_local: jnp.ndarray,
 ) -> jnp.ndarray:
-    """-> (K, 16) uint32 packed 512-bit descriptors."""
-    K = kp_x.shape[0]
+    """-> (K, 16) uint32 packed 512-bit descriptors.
+
+    Nearest sampling: the pool reads a box-smoothed pyramid, so the <=0.5px
+    rounding is well below the smoothing scale. Samples route through the
+    one-hot MXU path (ops/patches.py) instead of elementwise gathers.
+    """
     pool = jnp.asarray(_POOL)                              # (P, 2)
 
     ca, sa = jnp.cos(kp_angle), jnp.sin(kp_angle)          # (K,)
@@ -96,17 +100,13 @@ def describe(
     rx = ca[:, None] * ox[None] - sa[:, None] * oy[None]
     ry = sa[:, None] * ox[None] + ca[:, None] * oy[None]
 
-    sx = kp_x[:, None] + rx
-    sy = kp_y[:, None] + ry
-    lvl = jnp.broadcast_to(kp_level[:, None], sx.shape)
-
-    # nearest sampling: the pool reads a box-smoothed pyramid, so the <=0.5px
-    # rounding is well below the smoothing scale; costs 1 gather/sample vs
-    # bilinear's 4 (this is the frontend's hottest gather)
-    vals = pyr_ops.gather_nearest_flat(
-        flat_smooth, bases, heights, widths,
-        lvl.reshape(-1), sx.reshape(-1), sy.reshape(-1),
-    ).reshape(K, POOL_SIZE)
+    gx = jnp.clip(kp_x[:, None] + rx, 0.0, (w_l - 1.0)[:, None])
+    gy = jnp.clip(kp_y[:, None] + ry, 0.0, (h_l - 1.0)[:, None])
+    vals = patch_ops.sample_nearest(
+        patches,
+        gx - col0.astype(jnp.float32)[:, None],
+        gy - row0_local.astype(jnp.float32)[:, None],
+    )                                                      # (K, P)
 
     tri = jnp.asarray(_TRIPLETS)                           # (512, 3)
     va = vals[:, tri[:, 0]]                                # (K, 512)

@@ -136,82 +136,121 @@ def topk_keypoints(
 # The XLA path materializes a (16, H, W) ring stack plus ~8 cascade
 # intermediates per level — the jnp.roll along the 16-axis blocks fusion and
 # each intermediate round-trips HBM. The Pallas kernel processes (TH, TW)
-# output tiles from a VMEM-resident (TH+8, TW+8) input window: the 16 ring
-# "shifts" are static sub-slices of the window, the whole cascade stays in
-# vector registers, and only the NMS'd score tile is written back.
+# output tiles from a (TH+8, TW+128) halo window:
+#   - window DMAs are manually DOUBLE-BUFFERED across the grid (overlapping
+#     windows can't ride BlockSpec pipelining; a blocking per-program copy
+#     costs ~2.5 us of DMA latency per tile — more than the compute),
+#   - every intermediate keeps the full aligned window shape, with the 16
+#     ring "shifts" as lane/sublane rotations (pltpu.roll) — odd-shaped
+#     sub-slices forced Mosaic relayouts on every cascade op (~4x slower),
+#   - the image border (3 px, matching fast_score_map's `inb` mask) is zeroed
+#     IN-KERNEL before NMS so border scores can't suppress interior peaks.
 
 _TH = 64    # output tile rows
-_TW = 128   # output tile cols (lanes: multiple of 128)
+_TW = 256   # output tile cols (lanes: multiple of 128)
 _HALO = 4   # 3 (ring radius) + 1 (NMS neighborhood)
 
 
-def _fast_nms_kernel(img_hbm, thresh_ref, raw_ref, score_ref, win, sem):
-    # overlapping-window DMA: blocks overlap by 2*HALO, which BlockSpec's
-    # block-index addressing can't express — copy the window manually.
-    # Mosaic requires lane-dim slice shapes/offsets aligned to 128, so the
-    # window is TW+128 wide (halo plus aligned slack) at offset j*TW.
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * _TH, _TH + 2 * _HALO),
-                   pl.ds(j * _TW, _TW + 128)],
-        win,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+def _win_roll(a, d, axis):
+    # view[i] = a[i + d]; pltpu.roll only takes non-negative shifts.
+    # Wrap-around garbage stays in the halo (all shifts <= 4; outputs only
+    # read window rows [3, TH+5) x cols [3, TW+5)).
+    return pltpu.roll(a, (-d) % a.shape[axis], axis)
 
-    t = thresh_ref[0]
-    # score needed on (TH+2, TW+2) so NMS has its 1-px neighborhood
-    sh, sw = _TH + 2, _TW + 2
 
-    img_ref = win
-    center = img_ref[3 : 3 + sh, 3 : 3 + sw]
+def _make_fast_nms_kernel(h: int, w: int, nj: int):
+    """Kernel closure over static image dims (for the in-kernel border mask)
+    and the lane-dim grid extent (for double-buffer lookahead)."""
 
-    ring = [
-        img_ref[3 + dy : 3 + dy + sh, 3 + dx : 3 + dx + sw]
-        for (dy, dx) in RING_OFFSETS
-    ]
-    dev = [r - center for r in ring]
+    def kernel(img_hbm, thresh_ref, raw_ref, score_ref, win2, sem2):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ni = pl.num_programs(0)
+        step = i * nj + j
+        slot = jax.lax.rem(step, 2)
 
-    def cascade(flags_or_vals, op):
-        def rot(lst, s):
-            return lst[s:] + lst[:s]
-        r2 = [op(a, b) for a, b in zip(flags_or_vals, rot(flags_or_vals, 1))]
-        r4 = [op(a, b) for a, b in zip(r2, rot(r2, 2))]
-        r8 = [op(a, b) for a, b in zip(r4, rot(r4, 4))]
-        return [op(a, b) for a, b in zip(r8, rot(flags_or_vals, 8))]
+        def window_copy(si, sj, s):
+            return pltpu.make_async_copy(
+                img_hbm.at[pl.ds(si * _TH, _TH + 2 * _HALO),
+                           pl.ds(sj * _TW, _TW + 128)],
+                win2.at[s],
+                sem2.at[s],
+            )
 
-    # arc minimums double as the consecutive-9 test, and the per-arc
-    # threshold select folds into one test on the max (see fast_score_map)
-    bright_arc = cascade(dev, jnp.minimum)
-    dark_arc = cascade([-d for d in dev], jnp.minimum)
+        @pl.when(step == 0)
+        def _():
+            window_copy(i, j, 0).start()
 
-    score = bright_arc[0]
-    for ba in bright_arc[1:]:
-        score = jnp.maximum(score, ba)
-    for da in dark_arc:
-        score = jnp.maximum(score, da)
-    score = jnp.where(score > t, score, 0.0)
+        nstep = step + 1
 
-    raw_ref[:, :] = score[1 : 1 + _TH, 1 : 1 + _TW]
+        @pl.when(nstep < ni * nj)
+        def _():
+            window_copy(nstep // nj, jax.lax.rem(nstep, nj),
+                        jax.lax.rem(nstep, 2)).start()
 
-    # 3x3 NMS with earlier-raster tie-break, on the inner (TH, TW) block
-    def win(dy, dx):
-        return score[1 + dy : 1 + dy + _TH, 1 + dx : 1 + dx + _TW]
+        window_copy(i, j, slot).wait()
 
-    s0 = win(0, 0)
-    neigh_max = s0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if (dy, dx) != (0, 0):
-                neigh_max = jnp.maximum(neigh_max, win(dy, dx))
-    earlier = jnp.maximum(
-        jnp.maximum(win(-1, -1), win(-1, 0)),
-        jnp.maximum(win(-1, 1), win(0, -1)),
-    )
-    keep = (s0 >= neigh_max) & (earlier < s0)
-    score_ref[:, :] = jnp.where(keep, s0, 0.0)
+        t = thresh_ref[0]
+        wv = win2[slot]  # full (TH+8, TW+128) window
+
+        row_rolled = {
+            dy: (_win_roll(wv, dy, 0) if dy else wv)
+            for dy in sorted({dy for dy, _ in RING_OFFSETS})
+        }
+
+        def shifted(dy, dx, rows):
+            a = rows[dy]
+            return _win_roll(a, dx, 1) if dx else a
+
+        def cascade(vals):
+            def rot(lst, s):
+                return lst[s:] + lst[:s]
+            r2 = [jnp.minimum(a, b) for a, b in zip(vals, rot(vals, 1))]
+            r4 = [jnp.minimum(a, b) for a, b in zip(r2, rot(r2, 2))]
+            r8 = [jnp.minimum(a, b) for a, b in zip(r4, rot(r4, 4))]
+            return [jnp.minimum(a, b) for a, b in zip(r8, rot(vals, 8))]
+
+        # arc minimums double as the consecutive-9 test, and the per-arc
+        # threshold select folds into one test on the max (see fast_score_map)
+        dev = [shifted(dy, dx, row_rolled) - wv for (dy, dx) in RING_OFFSETS]
+        bright_arc = cascade(dev)
+        dark_arc = cascade([-d for d in dev])
+
+        score = bright_arc[0]
+        for ba in bright_arc[1:]:
+            score = jnp.maximum(score, ba)
+        for da in dark_arc:
+            score = jnp.maximum(score, da)
+        score = jnp.where(score > t, score, 0.0)
+
+        # zero the 3-px image border in-window (window (r, c) = image
+        # (i*TH + r - HALO, j*TW + c - HALO)) so NMS can't be suppressed by
+        # border scores the XLA reference path zeroes before nms3
+        wh, ww = score.shape
+        gy = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + i * _TH - _HALO
+        gx = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + j * _TW - _HALO
+        inb = (gy >= 3) & (gy < h - 3) & (gx >= 3) & (gx < w - 3)
+        score = jnp.where(inb, score, 0.0)
+
+        # window coords: out pixel (r, c) of this tile = score[r + 4, c + 4]
+        raw_ref[:, :] = score[_HALO : _HALO + _TH, _HALO : _HALO + _TW]
+
+        # 3x3 NMS with earlier-raster tie-break, still full-window
+        srows = {dy: (_win_roll(score, dy, 0) if dy else score)
+                 for dy in (-1, 0, 1)}
+        neigh = [shifted(dy, dx, srows)
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+        neigh_max = neigh[0]
+        for n in neigh[1:]:
+            neigh_max = jnp.maximum(neigh_max, n)
+        # earlier (raster-order) neighbors: (-1,-1), (-1,0), (-1,1), (0,-1)
+        earlier = jnp.maximum(jnp.maximum(neigh[0], neigh[1]),
+                              jnp.maximum(neigh[2], neigh[3]))
+        keep = (score >= neigh_max) & (earlier < score)
+        nms = jnp.where(keep, score, 0.0)
+        score_ref[:, :] = nms[_HALO : _HALO + _TH, _HALO : _HALO + _TW]
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -220,7 +259,7 @@ def fast_nms_pallas(image: jnp.ndarray, threshold, interpret: bool = False):
 
     The raw map feeds subpixel refinement; the NMS'd map feeds top-k. Border
     semantics match nms3(fast_score_map(.)): edge-replicated ring sampling,
-    3-px border zeroed.
+    3-px border zeroed (before NMS, like the XLA path).
     """
     h, w = image.shape
     hp = ((h + _TH - 1) // _TH) * _TH
@@ -231,12 +270,13 @@ def fast_nms_pallas(image: jnp.ndarray, threshold, interpret: bool = False):
         mode="edge",
     )
     thresh = jnp.asarray([threshold], jnp.float32)
+    nj = wp // _TW
 
-    score = pl.pallas_call(
-        _fast_nms_kernel,
-        grid=(hp // _TH, wp // _TW),
+    raw, score = pl.pallas_call(
+        _make_fast_nms_kernel(h, w, nj),
+        grid=(hp // _TH, nj),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -250,18 +290,12 @@ def fast_nms_pallas(image: jnp.ndarray, threshold, interpret: bool = False):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TH + 2 * _HALO, _TW + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, _TH + 2 * _HALO, _TW + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(padded, thresh)
-    raw, score = score
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inb = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    raw = jnp.where(inb, raw[:h, :w], 0.0)
-    score = jnp.where(inb, score[:h, :w], 0.0)
-    return raw, score
+    return raw[:h, :w], score[:h, :w]
 
 
 def subpixel_refine(

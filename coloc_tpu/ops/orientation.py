@@ -1,88 +1,60 @@
 """Keypoint orientation by weighted intensity centroid.
 
 Reference parity: FeatureAngle.h:197-246 — 7x7 weighted intensity-centroid
-gradient (SSE) + polynomial fastAtan2 (:160-177). Here the centroid moments
-m10/m01 are two small convolutions over each pyramid level (MXU-friendly),
-evaluated densely and gathered at keypoints through the flattened-pyramid
-index (one gather per keypoint); atan2 comes from the VPU directly.
+gradient (SSE) + polynomial fastAtan2 (:160-177). TPU-native shape: the 7x7
+integer window is sampled from per-keypoint patches via the one-hot MXU path
+(ops/patches.py) and the centroid moments are two (K, 49) @ (49,) dots; atan2
+comes from the VPU. Documented deviation: the window reads the box-smoothed
+pyramid (the same buffer the descriptor samples) rather than the raw level —
+the intensity centroid is a low-pass statistic, so the pre-smoothing shifts
+angles only marginally and identically for all frames.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
-
-import jax
 import jax.numpy as jnp
+
+from coloc_tpu.ops import patches as patch_ops
 
 _RADIUS = 3  # 7x7 window
 
 
-def _moment_kernels(radius: int = _RADIUS):
-    """Distance-weighted x/y moment kernels (w = radius+1-max(|dx|,|dy|))."""
+def moment_tables(radius: int = _RADIUS):
+    """Static (49,) window offsets + weighted moment vectors.
+
+    Weights w = radius+1-max(|dx|,|dy|) (FeatureAngle's distance taper);
+    moment vectors are wx = dx*w, wy = dy*w.
+    """
     r = radius
     ys, xs = jnp.mgrid[-r : r + 1, -r : r + 1]
     wgt = (r + 1 - jnp.maximum(jnp.abs(xs), jnp.abs(ys))).astype(jnp.float32)
-    kx = (xs * wgt).astype(jnp.float32)
-    ky = (ys * wgt).astype(jnp.float32)
-    return kx, ky
-
-
-def moment_maps(image: jnp.ndarray):
-    """(H, W) -> (m10 (H,W), m01 (H,W)) centroid moment maps."""
-    kx, ky = _moment_kernels()
-    img = image[None, None]  # NCHW
-    def conv(kernel):
-        return jax.lax.conv_general_dilated(
-            img, kernel[None, None], (1, 1), "SAME"
-        )[0, 0]
-    return conv(kx), conv(ky)
-
-
-def angles_from_moments(m10: jnp.ndarray, m01: jnp.ndarray) -> jnp.ndarray:
-    return jnp.arctan2(m01, m10)
-
-
-def orientation_maps(levels: Sequence[jnp.ndarray]):
-    """Per-level angle maps (dense); kept for tests/visualization — the
-    frontend uses `orientation_at_keypoints` (dense 1-channel convs lower
-    onto the TPU's conv path with C=1, which runs ~25 ms/frame; sparse
-    gather at 1-2k keypoints is ~100 us)."""
-    out = []
-    for lvl in levels:
-        m10, m01 = moment_maps(lvl)
-        out.append(angles_from_moments(m10, m01))
-    return out
-
-
-def orientation_at_keypoints(
-    flat: jnp.ndarray,
-    bases: jnp.ndarray,
-    heights: jnp.ndarray,
-    widths: jnp.ndarray,
-    kp_x: jnp.ndarray,      # (K,) level-local
-    kp_y: jnp.ndarray,
-    kp_level: jnp.ndarray,  # (K,) int32
-) -> jnp.ndarray:
-    """Weighted intensity-centroid angle per keypoint, via one flattened-
-    pyramid gather of the 7x7 window (FeatureAngle semantics, sparse)."""
-    from coloc_tpu.ops import pyramid as pyr_ops
-
-    r = _RADIUS
-    ys, xs = jnp.mgrid[-r : r + 1, -r : r + 1]
-    wgt = (r + 1 - jnp.maximum(jnp.abs(xs), jnp.abs(ys))).astype(jnp.float32)
-    offs_x = xs.reshape(-1).astype(jnp.float32)   # (49,)
+    offs_x = xs.reshape(-1).astype(jnp.float32)
     offs_y = ys.reshape(-1).astype(jnp.float32)
     wx = (xs * wgt).reshape(-1).astype(jnp.float32)
     wy = (ys * wgt).reshape(-1).astype(jnp.float32)
+    return offs_x, offs_y, wx, wy
 
-    K = kp_x.shape[0]
-    sx = kp_x[:, None] + offs_x[None, :]          # (K, 49)
-    sy = kp_y[:, None] + offs_y[None, :]
-    lvl = jnp.broadcast_to(kp_level[:, None], sx.shape)
-    vals = pyr_ops.gather_bilinear_flat(
-        flat, bases, heights, widths,
-        lvl.reshape(-1), sx.reshape(-1), sy.reshape(-1),
-    ).reshape(K, -1)                              # (K, 49)
+
+def orientation_from_patches(
+    patches: jnp.ndarray,    # (K, PH, PW) per-keypoint windows
+    kp_x: jnp.ndarray,       # (K,) level-local float
+    kp_y: jnp.ndarray,
+    w_l: jnp.ndarray,        # (K,) level width/height (float, for clamping)
+    h_l: jnp.ndarray,
+    col0: jnp.ndarray,       # (K,) patch origins (level-local col,
+    row0_local: jnp.ndarray, #  level-local row)
+) -> jnp.ndarray:
+    """Intensity-centroid angle per keypoint -> (K,) radians."""
+    offs_x, offs_y, wx, wy = moment_tables()
+    gx = jnp.clip(jnp.round(kp_x)[:, None] + offs_x[None, :], 0.0,
+                  (w_l - 1.0)[:, None])
+    gy = jnp.clip(jnp.round(kp_y)[:, None] + offs_y[None, :], 0.0,
+                  (h_l - 1.0)[:, None])
+    vals = patch_ops.sample_nearest(
+        patches,
+        gx - col0.astype(jnp.float32)[:, None],
+        gy - row0_local.astype(jnp.float32)[:, None],
+    )                                                   # (K, 49)
     m10 = vals @ wx
     m01 = vals @ wy
     return jnp.arctan2(m01, m10)

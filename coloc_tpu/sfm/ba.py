@@ -314,22 +314,87 @@ def refine_pose_only(
     opts: RefinerOptions,
 ) -> BAResult:
     """Single-pose refinement with structure fixed (Localizer.hpp:132-133 /
-    resection-polish pattern): a 2-view problem whose view 0 is a fixed dummy
-    so cov_view=1 matches the reference's pose-block-1 covariance extraction
-    (Refiner.hpp:188). Returns the full BAResult; the pose is (Rs[1], Cs[1])."""
-    L = X.shape[0]
-    problem = BAProblem(
-        Rs=jnp.stack([jnp.eye(3), R0]),
-        Cs=jnp.stack([jnp.zeros(3), C0]),
+    resection-polish pattern).
+
+    Specialized LM: this is the per-frame hot path (SURVEY §3.5), so instead
+    of routing through the generic multi-view `refine` (which would carry a
+    dummy fixed view and invert the stacked 12x12 system by eigh every LM
+    iteration), the single 6x6 damped normal system is solved by Cholesky
+    per iteration; the eigh-based PSD-robust inverse runs ONCE at the end
+    for the covariance (ceres::Covariance parity, Refiner.hpp:177-202).
+
+    Returns a BAResult shaped like the generic path: Rs/Cs stack a fixed
+    identity view 0 with the refined pose at index 1 (cov_view=1 convention,
+    Refiner.hpp:188)."""
+    delta_sq = opts.huber_delta_sq
+    mask_f = inliers.astype(jnp.float32)
+    n_obs = jnp.sum(inliers.astype(jnp.int32))
+    cam = cam_ops.Camera(K=K, dist=dist)
+
+    def jac_res(R, C):
+        def f_obs(Xl, uv_l):
+            def f(p):
+                Rp = so3.exp(p[:3]) @ R
+                Cp = C + p[3:]
+                return _project_residual(Rp, Cp, K, dist, Xl, uv_l)
+            return jax.jacfwd(f)(jnp.zeros(6)), f(jnp.zeros(6))
+        return jax.vmap(f_obs)(X, uv)        # (L, 2, 6), (L, 2)
+
+    def weighted_cost(R, C):
+        r = jax.vmap(lambda Xl, uv_l: _project_residual(R, C, K, dist, Xl, uv_l))(X, uv)
+        res_sq = jnp.sum(r * r, axis=-1)
+        w = _huber_weights(res_sq, delta_sq) * mask_f
+        return jnp.sum((r * w[:, None]) ** 2)
+
+    def lm_cond(state):
+        _, _, _, it, done = state
+        return (it < opts.max_iterations) & ~done
+
+    def lm_body(state):
+        R, C, lam, it, _ = state
+        J, r = jac_res(R, C)
+        res_sq = jnp.sum(r * r, axis=-1)
+        w = _huber_weights(res_sq, delta_sq) * mask_f
+        Jw = J * w[:, None, None]
+        rw = r * w[:, None]
+        cost = jnp.sum(rw * rw)
+        U = jnp.einsum("lri,lrj->ij", Jw, Jw)          # (6, 6)
+        g = -jnp.einsum("lri,lr->i", Jw, rw)           # (6,)
+        U_d = U + lam * jnp.eye(6)
+        # 6x6 damped solve: Cholesky with a tiny jitter (U_d is PD by damping)
+        cf = jax.scipy.linalg.cho_factor(U_d + 1e-12 * jnp.eye(6))
+        dp = jax.scipy.linalg.cho_solve(cf, g)
+        dp = jnp.where(jnp.isfinite(dp), dp, 0.0)
+        Rn = so3.exp(dp[:3]) @ R
+        Cn = C + dp[3:]
+        new_cost = weighted_cost(Rn, Cn)
+        accept = new_cost < cost
+        rel_improve = (cost - new_cost) / jnp.maximum(cost, 1e-12)
+        done = accept & (rel_improve < opts.tolerance * 10.0 + 1e-6)
+        R = jnp.where(accept, Rn, R)
+        C = jnp.where(accept, Cn, C)
+        lam_new = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
+                            jnp.minimum(lam * 4.0, 1e4))
+        done = done | (lam_new >= 1e4)  # step rejection exhausted
+        return (R, C, lam_new, it + 1, done)
+
+    init = (R0, C0, jnp.float32(1e-3), jnp.int32(0), jnp.asarray(False))
+    R, C, _lam, _it, _done = jax.lax.while_loop(lm_cond, lm_body, init)
+
+    # covariance + rmse at the solution (undamped; PSD-robust inverse once)
+    J, r = jac_res(R, C)
+    res_sq = jnp.sum(r * r, axis=-1)
+    w = _huber_weights(res_sq, delta_sq) * mask_f
+    Jw = J * w[:, None, None]
+    U = jnp.einsum("lri,lrj->ij", Jw, Jw)
+    cov = _spd_inv(U)
+    rmse = jnp.sqrt(jnp.sum(res_sq * mask_f) / jnp.maximum(n_obs, 1))
+
+    return BAResult(
+        Rs=jnp.stack([jnp.eye(3), R]),
+        Cs=jnp.stack([jnp.zeros(3), C]),
         X=X,
-        obs=jnp.stack([jnp.zeros((L, 2)), uv]),
-        obs_mask=jnp.stack([jnp.zeros(L, bool), inliers]),
-        Ks=jnp.stack([K, K]),
-        dists=jnp.stack([dist, dist]),
-    )
-    return refine(
-        problem, opts,
-        fix_pose=jnp.asarray([True, False]),
-        optimize_structure=False,
-        cov_view=1,
+        cov=cov,
+        rmse=rmse,
+        n_obs=n_obs,
     )
