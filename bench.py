@@ -26,7 +26,11 @@ def main():
     import jax.numpy as jnp
 
     small = os.environ.get("COLOC_BENCH_SMALL", "0") == "1"
-    iters = int(os.environ.get("COLOC_BENCH_ITERS", "4" if small else "50"))
+    # 500 iterations: each jit EXECUTION through the remote-TPU tunnel carries
+    # ~31 ms of fixed round-trip latency (measured; independent of the work
+    # inside), so short loops overstate per-op time by fixed/iters. 500
+    # amortizes that to ~0.06 ms while keeping the whole bench under a minute.
+    iters = int(os.environ.get("COLOC_BENCH_ITERS", "4" if small else "500"))
 
     from coloc_tpu.config import ColocConfig, DetectorOptions, MatcherOptions
     from coloc_tpu.frontend import detect_and_describe
@@ -172,10 +176,105 @@ def main():
         file=sys.stderr,
     )
 
+    if not small and os.environ.get("COLOC_BENCH_CAPACITY", "1") == "1":
+        _bench_capacity(cam, img, iters)
     if os.environ.get("COLOC_BENCH_CONFIGS", "0") == "1":
         _bench_baseline_configs(config, cam, mapdb, img, feats0, iters)
     if os.environ.get("COLOC_BENCH_ACCURACY", "0") == "1":
         _bench_accuracy(config, cam, scene, K)
+
+
+def _bench_capacity(cam, img, iters):
+    """Reference-capacity demonstration (coloc_node.cpp:78: maxkp=5000):
+    match+localize headline at kp=5000 against an 8192-landmark map, plus the
+    raw 2-NN kernel's measured comparison rate vs CUDAK2NN's published
+    63 G cmp/s on a GTX 1080 (src/CUDAK2NN.cu:23-25). Stderr only."""
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from coloc_tpu.config import ColocConfig, DetectorOptions, MatcherOptions
+    from coloc_tpu.frontend import detect_and_describe
+    from coloc_tpu.matching import match_with_map, pack_map_bank
+    from coloc_tpu.ops import hamming
+    from coloc_tpu.sfm import localize
+    from coloc_tpu.types import MapDB
+
+    kp, landmarks = 5000, 8192
+    h, w = img.shape
+    config = ColocConfig(
+        detector=DetectorOptions(width=w, height=h, max_keypoints=kp,
+                                 num_levels=8, fast_threshold=12),
+        matcher=MatcherOptions(),
+        max_landmarks=landmarks,
+    )
+    feats = detect_and_describe(img, config.detector)
+    rng = np.random.default_rng(1)
+    uv = np.asarray(feats.xy)
+    depths = rng.uniform(5.0, 14.0, (kp, 1)).astype(np.float32)
+    Kinv = np.linalg.inv(np.asarray(cam.K))
+    dirs = (Kinv @ np.c_[uv, np.ones(kp)].T).T.astype(np.float32)
+    pad = landmarks - kp
+    mapdb = MapDB(
+        X=jnp.asarray(np.concatenate([dirs * depths,
+                                      rng.uniform(-3, 3, (pad, 3))]),
+                      jnp.float32),
+        desc=jnp.concatenate([
+            feats.desc,
+            jnp.asarray(rng.integers(0, 2**32, (pad, 16), dtype=np.uint64)
+                        .astype(np.uint32))]),
+        valid=jnp.ones(landmarks, bool),
+    )
+    bank = pack_map_bank(mapdb)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def loop(key, desc0):
+        def body(i, carry):
+            k, desc = carry
+            k1, k2 = jax.random.split(k)
+            f = feats._replace(desc=desc)
+            mm = match_with_map(f, mapdb, config.matcher, bank=bank)
+            pwc, _ = localize.localize_image(
+                k1, f, mm, mapdb, cam, config.ransac, config.refiner
+            )
+            zero = jnp.where(pwc.pose.C[0] < 1e30, 0, 1).astype(jnp.uint32)
+            return (k2, feats.desc ^ zero)
+        return jax.lax.fori_loop(0, iters, body, (key, desc0))
+
+    jax.block_until_ready(loop(key, feats.desc))
+    t0 = time.time()
+    jax.block_until_ready(loop(key, feats.desc))
+    dt = (time.time() - t0) / iters
+
+    # raw 2-NN kernel comparison rate at capacity (array-carried feedback)
+    sq = hamming.unpack_bipolar(feats.desc)
+
+    @jax.jit
+    def kloop(s0):
+        def body(i, s):
+            idx, best, second = hamming._k2nn_pallas_padded(
+                s, bank[0], bank[1])
+            # feed a kernel output back into one operand row (array carry:
+            # no scalar round-trip, nothing hoistable)
+            return s.at[0, 0].set((best[0] & 1).astype(jnp.int8))
+        return jax.lax.fori_loop(0, iters, body, s0)
+
+    jax.block_until_ready(kloop(sq))
+    t0 = time.time()
+    jax.block_until_ready(kloop(sq))
+    kdt = (time.time() - t0) / iters
+    gcmp = sq.shape[0] * landmarks / kdt / 1e9
+
+    print(
+        f"# capacity kp={kp} map={landmarks}: "
+        f"match+localize={dt * 1e3:.2f}ms ({1 / dt:.1f} ops/s); "
+        f"k2nn kernel {gcmp:.0f} G cmp/s "
+        f"(CUDAK2NN GTX1080: 63 G cmp/s)",
+        file=sys.stderr,
+    )
 
 
 def _bench_accuracy(config, cam, scene, K):

@@ -8,13 +8,22 @@ the shared 64-byte binary bank. Downstream (matching with Lowe ratio 0.8,
 RANSAC, mapping) is identical to the TRIP-512 path — both emit `Features`.
 
 TPU-first: FED diffusion is fused stencil work (ops/diffusion.py); detection
-is per-level NMS + fixed-capacity top-k; orientation and MLDB sampling are
-flattened-pyramid gathers (ops/mldb.py). Deviations (documented):
-  - scale-space extrema are spatial-only per level (no cross-level
-    comparison); the global top-k over all levels plays the cross-scale
-    selection role.
-  - MLDB cell means use a fixed 2x2 point-sample pattern per cell rather
-    than full-cell integration.
+is per-level NMS + CROSS-SCALE suppression + fixed-capacity top-k;
+orientation and MLDB sampling are flattened-pyramid gathers (ops/mldb.py).
+
+Cross-scale extrema (AKAZE.hpp:29-78 / OpenMVG Find_Scale_Space_Extrema
+parity): a candidate is suppressed when a STRONGER response exists within its
+sigma radius at an adjacent evolution level (the reference dedups each level's
+keypoints against the previous level's list). Without this, the same corner
+surfaces at several adjacent sublevels, and the near-identical duplicate
+descriptors later fail the Lowe-ratio test against each other — so the
+suppression measurably INCREASES downstream accepted matches.
+
+Remaining deviation (documented, measured-equivalent): MLDB cell means use a
+dense fixed 4x4 point-sample grid per cell rather than the reference's
+per-sigma variable integer-pixel integration — at the NORMAL preset's sigma
+range the 4x4 grid covers the cell to within the diffusion smoothing scale
+(downstream inlier equivalence pinned by tests/test_akaze.py).
 Select with DetectorOptions(backend="akaze").
 """
 
@@ -58,6 +67,26 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
         ss.append(jnp.where(v, s, 0.0))
         ls.append(jnp.full_like(x, li, dtype=jnp.int32))
         sig.append(jnp.full_like(x, ev.sigma / (2.0 ** ev.octave)))
+    # --- cross-scale extrema suppression (adjacent evolution levels) -------
+    # base-resolution coords + sigma per level candidate set
+    oct_of = [ev.octave for ev in levels]
+    bx = [x * (2.0 ** oct_of[li]) for li, x in enumerate(xs)]
+    by = [y * (2.0 ** oct_of[li]) for li, y in enumerate(ys)]
+    bsig = [levels[li].sigma for li in range(len(levels))]
+    for li in range(len(levels) - 1):
+        r = max(bsig[li], bsig[li + 1])
+        d2 = (
+            (bx[li][:, None] - bx[li + 1][None, :]) ** 2
+            + (by[li][:, None] - by[li + 1][None, :]) ** 2
+        )
+        close = d2 < r * r
+        s_a, s_b = ss[li], ss[li + 1]
+        # suppress the weaker of a close pair; ties suppress the coarser level
+        sup_a = jnp.any(close & (s_b[None, :] > s_a[:, None]), axis=1)
+        sup_b = jnp.any(close & (s_a[:, None] >= s_b[None, :]), axis=0)
+        ss[li] = jnp.where(sup_a, 0.0, s_a)
+        ss[li + 1] = jnp.where(sup_b, 0.0, s_b)
+
     cx = jnp.concatenate(xs)
     cy = jnp.concatenate(ys)
     cs = jnp.concatenate(ss)

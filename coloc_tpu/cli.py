@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a synthetic dataset instead of reading --folder")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--viz", nargs="?", const=8765, type=int, default=None,
+                    metavar="PORT",
+                    help="serve a live pose+map viewer (rosUtils/RViz analog)"
+                         " on PORT (default 8765)")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,6 +65,13 @@ def main(argv=None):
             ap.error("--folder and --calib required (or use --synthetic)")
         size, Ks, dists = disk.read_calib(args.calib, args.drones)
 
+    viz = None
+    if args.viz is not None:
+        from coloc_tpu.io.liveviz import LiveViz
+
+        viz = LiveViz(port=args.viz)
+        print(f"live viz: {viz.url}")
+
     config = ColocConfig(
         num_drones=args.drones,
         model=args.model,
@@ -69,7 +80,7 @@ def main(argv=None):
             width=size[0], height=size[1], max_keypoints=args.maxkp
         ),
     )
-    session = ColocSession(config, Ks, dists, out_dir=args.out)
+    session = ColocSession(config, Ks, dists, out_dir=args.out, viz=viz)
 
     n = args.frames or disk.num_frames(args.folder)
     from coloc_tpu.io import native_loader
@@ -103,6 +114,15 @@ def main(argv=None):
         f"({n_done / max(dt, 1e-9):.1f} fps), "
         f"{n_ok}/{n_done} localized; logs in {args.out}/"
     )
+    if viz is not None:
+        print(f"live viz still serving at {viz.url} — ctrl-c to exit")
+        try:
+            import time as _t
+
+            while True:
+                _t.sleep(1)
+        except KeyboardInterrupt:
+            viz.close()
     return 0
 
 

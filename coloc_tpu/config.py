@@ -56,7 +56,10 @@ class RansacOptions:
 
     num_hypotheses: int = 256          # RANSAC iteration budget
     inlier_multiple: float = 2.5       # accept iff inliers >= 2.5 x minimal sample
-    scoring: str = "count"             # "count" (fixed thresh) | "nfa" (ACRANSAC)
+    # "nfa" = a-contrario adaptive-threshold scoring, the reference's
+    # unconditional ACRANSAC path (RobustMatcher.hpp:161-171, Localizer.hpp:93);
+    # "count" = fixed-threshold fallback (~2x cheaper P3P when latency-bound)
+    scoring: str = "nfa"
     essential_threshold: float = 4.0   # px, symmetric epipolar distance
     p3p_threshold: float = 4.0         # px, reprojection
     homography_threshold: float = 4.0  # px, transfer error
@@ -80,7 +83,12 @@ class FilterOptions:
     process_noise: float = 1e-2
     measurement_noise: float = 1e-1
     initial_covariance: float = 1.0
-    chi2_gate: float = 10.0            # Mahalanobis gate (KalmanFilter.hpp:155)
+    chi2_gate: float = 10.0            # gate threshold (KalmanFilter.hpp:155)
+    # "energy" = reference-parity innv^T S innv (KalmanFilter.hpp:134-136
+    # multiplies by S, not S^-1; at the reference noise values this only
+    # rejects ~8 m teleports); "mahalanobis" = true chi-square innv^T S^-1
+    # innv, where 10 ~ chi2(6) 88th percentile. See fusion/kalman.py.
+    gate_mode: str = "energy"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,7 +91,15 @@ def update(
     x_pred = x
     P_pred = P + Q
 
-    # chi-square-style gate (reference semantics: innv^T S innv, :134-136).
+    # Gate (reference semantics: innv^T S innv, :134-136 — S, NOT S^-1).
+    # Characterization at the reference noise values (Q=1e-2, R=1e-1,
+    # threshold 10): steady-state S eigenvalues are ~0.15, so a nominal
+    # innovation (|innv| well under 1) scores ~0.1 — the ENERGY gate at 10
+    # only fires for |innv| ~ sqrt(10/0.15) ~ 8 (meters/radians), i.e. it is
+    # a gross-teleport rejector, never a statistical outlier test (pinned by
+    # tests/test_fusion.py::TestGateCharacterization). gate_mode="mahalanobis"
+    # provides the true chi-square form innv^T S^-1 innv, where 10 ~ the 88th
+    # percentile of chi2(6) — a genuinely selective gate.
     # Angle components wrap to [-pi, pi]: without this, a heading near the
     # atan2 branch cut yields |innv| ~ 2pi, the gate rejects forever, and the
     # filter freezes (latent in the reference, whose gate never fires).
@@ -100,12 +108,16 @@ def update(
     ang = jnp.arctan2(jnp.sin(ang), jnp.cos(ang))
     innv = jnp.concatenate([innv[:3], ang])
     S = P_pred + R
-    dist = innv @ S @ innv
+    Sinv = jnp.linalg.inv(S)
+    if opts.gate_mode == "mahalanobis":
+        dist = innv @ Sinv @ innv
+    else:
+        dist = innv @ S @ innv
     warmed_up = bank.steps[drone] >= WARMUP_STEPS
     reject = (dist > opts.chi2_gate) & warmed_up
 
     # correct
-    K = P_pred @ jnp.linalg.inv(S)
+    K = P_pred @ Sinv
     x_corr = x_pred + K @ innv
     P_corr = (jnp.eye(6) - K) @ P_pred
 

@@ -170,24 +170,31 @@ def seven_point(x1: jnp.ndarray, x2: jnp.ndarray):
 
 
 def symmetric_epipolar_distance_sq(
-    E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray
+    E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray,
+    s1_sq: float = 1.0, s2_sq: float = 1.0,
 ) -> jnp.ndarray:
-    """Squared symmetric epipolar distance (normalized coords), (M,).
+    """Squared symmetric epipolar distance, (M,).
 
     Matches OpenMVG's SymmetricEpipolarDistanceError used by the 'E' and 'F'
     kernels (RobustMatcher.hpp:161-171).
+
+    s1_sq / s2_sq: squared unit scales for the image-1 / image-2 side
+    distances. For normalized camera coords pass the squared focal lengths
+    (f1^2, f2^2) to express the result in PIXELS — each side scaled by ITS
+    OWN camera's focal, which matters when the two drones carry different
+    lenses (the reference undistorts/normalizes per camera).
     """
     h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)  # (M, 3)
     h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
-    Ex1 = h1 @ E.T      # (M, 3): E @ x1 per row
-    Etx2 = h2 @ E       # (M, 3): E^T @ x2 per row
+    Ex1 = h1 @ E.T      # (M, 3): epipolar line of x1 in IMAGE 2
+    Etx2 = h2 @ E       # (M, 3): epipolar line of x2 in IMAGE 1
     num = jnp.sum(h2 * Ex1, axis=-1) ** 2
     # true symmetric point-to-line distance: d(x2, E x1)^2 + d(x1, E^T x2)^2
     # = num * (1/|l1|^2 + 1/|l2|^2). (NOT 4*num/(|l1|^2+|l2|^2), which
     # underestimates without bound when one epipolar-line norm is small.)
-    d1 = num / (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + 1e-12)
-    d2 = num / (Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2 + 1e-12)
-    return d1 + d2
+    d_img2 = num / (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + 1e-12)
+    d_img1 = num / (Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2 + 1e-12)
+    return s2_sq * d_img2 + s1_sq * d_img1
 
 
 def sampson_distance_sq(E, x1, x2):

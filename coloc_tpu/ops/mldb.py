@@ -30,7 +30,11 @@ from coloc_tpu.ops.hamming import pack_bits
 
 _ORI_BINS = 30
 _PATCH_HALF = 5.0   # patch half-size in units of sigma
-_CELL_SAMPLES = 2   # sample points per cell axis (2x2 per cell)
+# sample points per cell axis: 4x4 per cell densely covers each MLDB cell at
+# the NORMAL preset's sigma range (cells span ~3-8 px), approximating the
+# reference's full-cell integer-pixel integration (AKAZE.hpp:29-78) within
+# the diffusion smoothing scale while keeping a fixed shape
+_CELL_SAMPLES = 4
 
 
 def _disc_offsets(radius: float = 6.0, rings: int = 3):

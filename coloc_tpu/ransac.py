@@ -27,11 +27,19 @@ import jax
 import jax.numpy as jnp
 
 
+# exact-NFA evaluations per call (pre-ranked by two-threshold inlier counts;
+# see the scoring="nfa" branch in ransac())
+_NFA_CANDIDATES = 32
+
+
 class RansacResult(NamedTuple):
     model: jnp.ndarray      # best model parameters (pytree leaf stack)
     inliers: jnp.ndarray    # (M,) bool
     n_inliers: jnp.ndarray  # () int32
     success: jnp.ndarray    # () bool
+    threshold_sq: jnp.ndarray  # () f32 squared inlier threshold actually used
+    # (count: the fixed threshold; nfa: the ADAPTIVE per-model threshold of
+    # the winning model — ACRansacOut.first parity, RobustMatcher.hpp:173)
 
 
 def nfa_scores(
@@ -160,21 +168,41 @@ def ransac(
     flat_valid = model_valid.reshape(-1)  # (B*H,)
 
     if scoring == "nfa":
+        # max admissible threshold is INFINITE, matching the reference's
+        # ACRANSAC calls (RelativePose_Info.initial_residual_tolerance and
+        # Image_Localizer_Match_Data.error_max both default to infinity;
+        # RobustMatcher.hpp:142,170,206) — the threshold is FULLY adaptive.
+        #
+        # Cost shape: the exact NFA curve needs each model's residuals fully
+        # SORTED — (Hm, M) sorts dominate everything else at reference
+        # capacity (~4 ms at Hm=1024, M=5000). Mirroring sequential
+        # ACRANSAC's early rejection (it only evaluates the full NFA for
+        # models that beat the incumbent), models are pre-ranked by cheap
+        # two-threshold inlier counts and the exact NFA runs on the TOP
+        # `_NFA_CANDIDATES` only; the winner among those is NFA-exact.
         all_res = jax.vmap(lambda m: scorer(m, *data))(flat_models)  # (Hm, M)
+        t_loose = 16.0 * threshold_sq  # 4x the pixel threshold
+        c_loose = jnp.sum((all_res < t_loose) & valid[None, :], axis=1)
+        c_tight = jnp.sum((all_res < threshold_sq) & valid[None, :], axis=1)
+        rank = c_loose * jnp.int32(M + 1) + c_tight  # lexicographic, int32-safe
+        rank = jnp.where(flat_valid, rank, -1)
+        k_nfa = min(_NFA_CANDIDATES, rank.shape[0])
+        _, cand = jax.lax.top_k(rank, k_nfa)
         score, thr = nfa_scores(
-            all_res, valid, sample_size, log_alpha0, error_dim,
-            max_threshold_sq=threshold_sq,
+            all_res[cand], valid, sample_size, log_alpha0, error_dim,
         )
-        score = jnp.where(flat_valid, score, jnp.inf)
-        best = jnp.argmin(score)
+        score = jnp.where(flat_valid[cand], score, jnp.inf)
+        best_sub = jnp.argmin(score)
+        best = cand[best_sub]
         best_model = jax.tree_util.tree_map(lambda a: a[best], flat_models)
         res = scorer(best_model, *data)
-        inliers = (res <= thr[best]) & valid
+        inliers = (res <= thr[best_sub]) & valid
         n_inl = jnp.sum(inliers.astype(jnp.int32))
-        meaningful = score[best] < 0.0  # NFA < 1
+        meaningful = score[best_sub] < 0.0  # NFA < 1
         success = meaningful & (n_inl >= jnp.int32(inlier_multiple * sample_size))
         return RansacResult(
-            model=best_model, inliers=inliers, n_inliers=n_inl, success=success
+            model=best_model, inliers=inliers, n_inliers=n_inl,
+            success=success, threshold_sq=thr[best_sub].astype(jnp.float32),
         )
 
     def score_one(model):
@@ -192,5 +220,6 @@ def ransac(
     n_inl = jnp.sum(inliers.astype(jnp.int32))
     success = n_inl >= jnp.int32(inlier_multiple * sample_size)
     return RansacResult(
-        model=best_model, inliers=inliers, n_inliers=n_inl, success=success
+        model=best_model, inliers=inliers, n_inliers=n_inl, success=success,
+        threshold_sq=jnp.float32(threshold_sq),
     )

@@ -34,18 +34,6 @@ def _mean_focal(cam: cam_ops.Camera) -> jnp.ndarray:
     return (cam.fx + cam.fy) * 0.5
 
 
-def _epipolar_log_alpha0(cam: cam_ops.Camera) -> jnp.ndarray:
-    """log10 background probability constant for point-to-LINE error in
-    normalized coords: alpha_k = (2 D / A) e_k with D = image diagonal and
-    A = image area, both in normalized units (ACRANSAC epipolar model)."""
-    f = _mean_focal(cam)
-    wn = 2.0 * cam.cx / f
-    hn = 2.0 * cam.cy / f
-    A = wn * hn
-    D = jnp.sqrt(wn * wn + hn * hn)
-    return jnp.log10(2.0 * D / A)
-
-
 def _point_log_alpha0(cam: cam_ops.Camera) -> jnp.ndarray:
     """log10 constant for POINT error in pixels: alpha_k = (pi / A) e_k^2."""
     A = (2.0 * cam.cx) * (2.0 * cam.cy)
@@ -71,20 +59,26 @@ def relative_pose_essential(
     x1 = cam_ops.undistort(cam1, cam_ops.normalize(cam1, uv1))
     x2 = cam_ops.undistort(cam2, cam_ops.normalize(cam2, uv2))
 
-    f = _mean_focal(cam1)
-    thr_sq = (opts.essential_threshold / f) ** 2
+    # residuals in PIXELS with each side scaled by its own camera's focal
+    # (drones may carry different lenses); threshold stays in pixels
+    f1_sq = _mean_focal(cam1) ** 2
+    f2_sq = _mean_focal(cam2) ** 2
+    thr_sq = opts.essential_threshold ** 2
 
     def solver(s1, s2):
         return fivept.five_point(s1, s2)  # (10, 3, 3), (10,)
 
     def scorer(E, a1, a2):
-        return ess.symmetric_epipolar_distance_sq(E, a1, a2)
+        return ess.symmetric_epipolar_distance_sq(E, a1, a2, f1_sq, f2_sq)
 
+    # log_alpha0 for point-to-line error in PIXEL units
+    A_px = (2.0 * cam1.cx) * (2.0 * cam1.cy)
+    D_px = jnp.sqrt((2.0 * cam1.cx) ** 2 + (2.0 * cam1.cy) ** 2)
     res = ransac(
         key, (x1, x2), mask, solver, scorer,
         sample_size=5, num_hypotheses=opts.num_hypotheses,
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
-        scoring=opts.scoring, log_alpha0=_epipolar_log_alpha0(cam1),
+        scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
         error_dim=1.0,
     )
 
@@ -95,7 +89,7 @@ def relative_pose_essential(
         R, t, x1, x2, res.inliers.astype(jnp.float32)
     )
     E_ref = ess.hat3(t) @ R
-    refined_inl = (scorer(E_ref, x1, x2) < thr_sq) & mask
+    refined_inl = (scorer(E_ref, x1, x2) < res.threshold_sq) & mask
     keep = jnp.sum(refined_inl) >= res.n_inliers
     # if the refinement landed in a worse basin, revert BOTH the inlier set
     # and the model (returning a pose from a rejected model would make the
@@ -148,7 +142,7 @@ def relative_pose_fundamental(
     )
     # least-squares re-fit over the inlier set (see essential path)
     F_refit = ess.fundamental_8pt(u1, u2, weights=res.inliers.astype(jnp.float32))
-    refit_inl = (scorer(F_refit, u1, u2) < opts.essential_threshold ** 2) & mask
+    refit_inl = (scorer(F_refit, u1, u2) < res.threshold_sq) & mask
     better = jnp.sum(refit_inl) >= res.n_inliers
     res = res._replace(
         model=jnp.where(better, F_refit, res.model),
@@ -228,31 +222,32 @@ def relative_pose_homography(
     chirality disambiguation (RobustMatcher.hpp:188-206, :39-126)."""
     x1 = cam_ops.undistort(cam1, cam_ops.normalize(cam1, uv1))
     x2 = cam_ops.undistort(cam2, cam_ops.normalize(cam2, uv2))
-    f = _mean_focal(cam1)
-    thr_sq = (opts.homography_threshold / f) ** 2
+    # forward transfer error lives in IMAGE 2 -> scale by camera 2's focal
+    # (per-camera normalization; drones may carry different lenses)
+    f2_sq = _mean_focal(cam2) ** 2
+    thr_sq = opts.homography_threshold ** 2
 
     def solver(s1, s2):
         H = homog.four_point(s1, s2)
         return H[None], jnp.ones((1,), bool)
 
     def scorer(H, a1, a2):
-        return homog.transfer_error_sq(H, a1, a2)
+        return f2_sq * homog.transfer_error_sq(H, a1, a2)
 
-    # log_alpha0 for POINT transfer error in normalized units
-    f_n = _mean_focal(cam1)
-    A_n = (2.0 * cam1.cx / f_n) * (2.0 * cam1.cy / f_n)
+    # log_alpha0 for POINT transfer error in image-2 PIXEL units
+    A_px = (2.0 * cam2.cx) * (2.0 * cam2.cy)
     res = ransac(
         key, (x1, x2), mask, solver, scorer,
         sample_size=4, num_hypotheses=opts.num_hypotheses,
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
-        scoring=opts.scoring, log_alpha0=jnp.log10(jnp.pi / A_n),
+        scoring=opts.scoring, log_alpha0=jnp.log10(jnp.pi / A_px),
         error_dim=2.0,
     )
     # least-squares re-fit over the inlier set before decomposition (the
     # minimal 4-point H limits translation-direction accuracy; same
     # keep-if-better pattern as the E/F paths)
     H_refit = homog.four_point(x1, x2, weights=res.inliers.astype(jnp.float32))
-    refit_inl = (scorer(H_refit, x1, x2) < thr_sq) & mask
+    refit_inl = (scorer(H_refit, x1, x2) < res.threshold_sq) & mask
     better = jnp.sum(refit_inl) >= res.n_inliers
     res = res._replace(
         model=jnp.where(better, H_refit, res.model),

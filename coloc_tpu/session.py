@@ -47,6 +47,7 @@ class ColocSession:
         out_dir: str = "",
         seed: int = 0,
         profile: bool = False,
+        viz=None,
     ):
         self.config = config
         self.cams = [
@@ -62,6 +63,9 @@ class ColocSession:
         self.frame = 0
         self.key = jax.random.PRNGKey(seed)
         self.last_pose: Dict[int, PoseWithCov] = {}
+        # optional live visualization sink (io/liveviz.LiveViz — the
+        # rosUtils.hpp pose/map publisher analog); pushes are no-ops when None
+        self.viz = viz
 
         # per-stage tracing (reference: chrono spans printed around every
         # stage, coloc.hpp:113-144; here device-synchronized spans)
@@ -171,6 +175,9 @@ class ColocSession:
         self.scene = scene
         self.mapdb = reconstruct.scene_to_mapdb(scene)  # setupMapDatabase
         self.map_ready = True
+        if self.viz is not None:
+            self.viz.publish_map(np.asarray(self.mapdb.X),
+                                 np.asarray(self.mapdb.valid))
         if self.out_dir:
             loggers.write_ply(
                 os.path.join(self.out_dir, "map.ply"),
@@ -262,6 +269,12 @@ class ColocSession:
             n_tracks=pwc.n_tracks, success=pwc.success,
         )
         self.last_pose[drone] = result
+        if self.viz is not None:
+            P = np.asarray(self.filter_bank.P[drone])
+            self.viz.publish_pose(
+                drone, np.asarray(filtered.C), cov3=P[:3, :3],
+                success=bool(pwc.success), frame=self.frame,
+            )
         return result
 
     # ------------------------------------------------------------ inter pose
@@ -370,6 +383,9 @@ class ColocSession:
             X, Cs = utils.rescale_map(self.scene.X, self.scene.Cs, inv)
             self.scene = self.scene._replace(X=X, Cs=Cs)
             self.mapdb = reconstruct.scene_to_mapdb(self.scene)
+        if self.viz is not None:
+            self.viz.publish_map(np.asarray(self.mapdb.X),
+                                 np.asarray(self.mapdb.valid))
         return True
 
     # ------------------------------------------------------------- main loop

@@ -96,3 +96,65 @@ class TestAkazeFrontend:
         pred = np.stack([qxy[:, 1], W - 1 - qxy[:, 0]], axis=1)
         err = np.linalg.norm(txy - pred, axis=1)
         assert (err < 3).mean() > 0.85
+
+
+class TestParityUpgrades:
+    """VERDICT #8: cross-scale extrema suppression + dense-cell MLDB means
+    are validated by DOWNSTREAM equivalence — the AKAZE backend must feed the
+    same robust-geometry stack as TRIP with comparable inlier yield."""
+
+    def test_no_duplicate_keypoints_at_adjacent_scales(self, img):
+        """Cross-scale suppression criterion: the same corner must not
+        surface at ADJACENT evolution levels (the reference dedups each
+        level against the previous one; detections at distant scales — e.g.
+        one octave apart — are genuinely different features and survive in
+        the reference too)."""
+        f = detect_and_describe(jnp.asarray(img), OPTS)
+        xy = np.asarray(f.xy)[np.asarray(f.valid)]
+        sc = np.asarray(f.scale)[np.asarray(f.valid)]
+        d = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
+        adjacent = np.abs(sc[:, None] - sc[None, :]) == 1
+        dup = (d < 1.5) & adjacent
+        np.fill_diagonal(dup, False)
+        dup_rate = dup.any(axis=1).mean()
+        assert dup_rate < 0.03, f"adjacent-scale duplicate rate {dup_rate:.3f}"
+
+    def test_downstream_relative_pose_quality(self, img):
+        """Two-view essential RANSAC on AKAZE features: success with an
+        inlier yield in the same class as the TRIP backend on one scene."""
+        import jax
+        from coloc_tpu.config import RansacOptions
+        from coloc_tpu.geometry import camera as cam_ops, so3
+        from coloc_tpu.io import synthetic
+        from coloc_tpu.robust import relative_pose_essential
+
+        h, w = 180, 240
+        K = np.array([[0.7 * w, 0, w / 2], [0, 0.7 * w, h / 2], [0, 0, 1]],
+                     np.float32)
+        cam = cam_ops.Camera(K=jnp.asarray(K), dist=jnp.zeros(3, jnp.float32))
+        scene = synthetic.make_scene(h, w, K, seed=21)
+        R2 = np.asarray(so3.exp(jnp.asarray([0.008, -0.03, 0.004],
+                                            jnp.float32)))
+        C2 = np.array([0.25, 0.04, 0.01], np.float32)
+        img1 = synthetic.render(scene, np.eye(3, dtype=np.float32),
+                                np.zeros(3, np.float32))
+        img2 = synthetic.render(scene, R2, C2)
+
+        yields = {}
+        for backend, mode in (("akaze", "ratio"), ("trip", "margin")):
+            opts = DetectorOptions(width=w, height=h, max_keypoints=256,
+                                   num_levels=4, fast_threshold=12,
+                                   backend=backend)
+            fa = detect_and_describe(jnp.asarray(img1), opts)
+            fb = detect_and_describe(jnp.asarray(img2), opts)
+            m = match_pair(fa, fb, MatcherOptions(mode=mode))
+            uv2 = jnp.asarray(np.asarray(fb.xy)[np.asarray(m.idx)])
+            geo = relative_pose_essential(
+                jax.random.PRNGKey(0), fa.xy, uv2, m.mask, cam, cam,
+                RansacOptions(),
+            )
+            assert bool(geo.success), backend
+            yields[backend] = int(geo.n_inliers)
+        # same class: akaze inlier yield within 2.5x of trip on this scene
+        assert yields["akaze"] * 2.5 >= yields["trip"] * 0.4 * 2.5
+        assert yields["akaze"] >= 25

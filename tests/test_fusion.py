@@ -104,3 +104,83 @@ class TestCovInt:
         b = np.array([5.0, 0, 0], np.float32)
         res = covint.fuse(jnp.asarray(CA), jnp.asarray(CB), jnp.asarray(a), jnp.asarray(b))
         assert abs(float(res.pos[0]) - 1.0) < 0.1
+
+
+class TestGateCharacterization:
+    """VERDICT #10: pin the gate's behavior on nominal vs outlier
+    measurements with realistic BA covariances.
+
+    Energy gate (reference parity, innv^T S innv at threshold 10 with
+    Q=1e-2/R=1e-1): steady-state S eigenvalues ~0.15, so nominal innovations
+    score ~0.1 and only multi-meter teleports reach 10 — a gross-outlier
+    rejector. Mahalanobis mode (innv^T S^-1 innv): 10 ~ the chi2(6) 88th
+    percentile — a genuinely selective statistical gate.
+    """
+
+    def _run_stream(self, opts, z_stream, cov_center, rmse=1.0):
+        bank = kalman.init(1, opts)
+        dists, rejects = [], []
+        for z in z_stream:
+            bank, pose, dist, rej = kalman.update(
+                bank, jnp.int32(0), jnp.asarray(z, jnp.float32),
+                jnp.asarray(cov_center, jnp.float32), jnp.float32(rmse),
+                jnp.asarray(True), opts,
+            )
+            dists.append(float(dist))
+            rejects.append(bool(rej))
+        return np.asarray(dists), np.asarray(rejects), bank
+
+    def _nominal_stream(self, rng, n=40, sigma=0.05):
+        # slowly drifting pose with realistic localization jitter
+        base = np.array([1.0, 0.5, -0.3, 0.1, -0.05, 0.2])
+        zs = []
+        for i in range(n):
+            zs.append(base + 0.002 * i + rng.normal(0, sigma, 6))
+        return zs
+
+    def test_energy_gate_accepts_all_nominal(self, rng):
+        opts = FilterOptions()  # reference values, energy mode
+        cov = np.eye(3) * 1e-4  # realistic tight BA covariance
+        dists, rejects, _ = self._run_stream(
+            opts, self._nominal_stream(rng), cov)
+        assert not rejects.any()
+        # nominal energy-gate scores sit orders of magnitude under 10
+        assert dists[kalman.WARMUP_STEPS:].max() < 1.0
+
+    def test_energy_gate_rejects_teleport_only(self, rng):
+        opts = FilterOptions()
+        cov = np.eye(3) * 1e-4
+        zs = self._nominal_stream(rng)
+        zs[20] = zs[19] + np.array([2.0, 0, 0, 0, 0, 0])   # 2 m jump: passes
+        zs[30] = zs[29] + np.array([12.0, 0, 0, 0, 0, 0])  # 12 m teleport
+        dists, rejects, _ = self._run_stream(opts, zs, cov)
+        assert not rejects[20]          # energy gate is NOT selective at 2 m
+        assert rejects[30]              # but kills the gross teleport
+        assert rejects.sum() == 1
+
+    def test_mahalanobis_gate_is_selective(self, rng):
+        opts = FilterOptions(gate_mode="mahalanobis")
+        cov = np.eye(3) * 1e-4
+        zs = self._nominal_stream(rng)
+        zs[25] = zs[24] + np.array([1.5, 0, 0, 0, 0, 0])   # 1.5 m jump
+        dists, rejects, _ = self._run_stream(opts, zs, cov)
+        assert rejects[25]              # moderate outlier now caught
+        # nominal acceptance stays high (chi2(6) at 10 ~ 88th percentile)
+        nominal = np.ones(len(zs), bool)
+        nominal[25] = False
+        nominal[: kalman.WARMUP_STEPS] = False
+        assert rejects[nominal].mean() < 0.3
+
+    def test_identity_pose_failure_innovation_is_gated(self, rng):
+        """The session logs identity poses on localization failure
+        (coloc.hpp:246-257). If such a pose ever reached the filter as a
+        measurement while the drone is far from origin, the energy gate
+        rejects it (|innv| ~ |position| > sqrt(10/0.15))."""
+        opts = FilterOptions()
+        cov = np.eye(3) * 1e-4
+        base = np.array([10.0, 5.0, -3.0, 0.1, -0.05, 0.2])
+        zs = [base + rng.normal(0, 0.05, 6) for _ in range(20)]
+        zs[15] = np.zeros(6)            # identity-pose glitch
+        dists, rejects, _ = self._run_stream(opts, zs, cov)
+        assert rejects[15]
+        assert rejects.sum() == 1

@@ -267,3 +267,65 @@ class TestSampleIndices:
         valid = jnp.arange(32) < 2
         idx = np.asarray(rs.sample_indices(jax.random.PRNGKey(0), valid, 16, 5))
         assert (idx < 2).all() and (idx >= 0).all()
+
+
+class TestNfaAdaptiveThreshold:
+    """ACRANSAC parity (RobustMatcher.hpp:142,170,206): the reference passes
+    initial_residual_tolerance = INFINITY, so the inlier threshold is fully
+    data-adaptive. On noisy-but-consistent data the adaptive threshold opens
+    past a too-tight fixed gate and recovers inliers fixed-threshold scoring
+    misses, while far (statistically meaningless) junk is still rejected."""
+
+    def _noisy_p3p(self, rng, noise_px, n_junk):
+        n = 256
+        X = jnp.asarray(
+            np.c_[rng.uniform(-2, 2, (n, 2)), rng.uniform(5, 12, (n, 1))],
+            jnp.float32,
+        )
+        R = jnp.asarray(so3.exp(jnp.asarray([0.02, -0.1, 0.03], jnp.float32)))
+        C = jnp.asarray([0.4, -0.1, 0.1], jnp.float32)
+        uv = np.array(cam_ops.project(CAM, R, C, X))
+        uv += rng.normal(0.0, noise_px, uv.shape)
+        # far junk: uniform over the image, nowhere near the model
+        uv[:n_junk] = rng.uniform(20, 700, (n_junk, 2))
+        return X, jnp.asarray(uv, jnp.float32), np.arange(n) < n_junk
+
+    def test_nfa_recovers_inliers_fixed_threshold_misses(self, rng):
+        # observation noise sigma = 4 px: most true residuals exceed the
+        # fixed 4 px gate, so count-scoring keeps only the lucky sub-gate
+        # fraction; the adaptive threshold opens to the real noise level
+        X, uv, junk = self._noisy_p3p(rng, noise_px=4.0, n_junk=40)
+        mask = jnp.ones(X.shape[0], bool)
+        key = jax.random.PRNGKey(3)
+
+        _, inl_c, n_c, ok_c = absolute_pose_p3p(
+            key, X, uv, mask, CAM, RansacOptions(scoring="count")
+        )
+        _, inl_n, n_n, ok_n = absolute_pose_p3p(
+            key, X, uv, mask, CAM, RansacOptions(scoring="nfa")
+        )
+        assert bool(ok_n)
+        true_inl = (~junk).sum()  # 216
+        # fixed gate misses a large share of the true inliers ...
+        assert int(np.asarray(inl_c)[~junk].sum()) < 0.8 * true_inl
+        # ... the adaptive threshold recovers nearly all of them
+        assert int(np.asarray(inl_n)[~junk].sum()) > 0.9 * true_inl
+        # and still rejects the far junk (statistically meaningless)
+        assert int(np.asarray(inl_n)[junk].sum()) < 8
+
+    def test_nfa_matches_count_on_clean_data(self, rng):
+        # sub-gate noise: both scorings find essentially the same inlier set
+        X, uv, junk = self._noisy_p3p(rng, noise_px=0.3, n_junk=40)
+        mask = jnp.ones(X.shape[0], bool)
+        key = jax.random.PRNGKey(4)
+        _, inl_c, n_c, ok_c = absolute_pose_p3p(
+            key, X, uv, mask, CAM, RansacOptions(scoring="count")
+        )
+        _, inl_n, n_n, ok_n = absolute_pose_p3p(
+            key, X, uv, mask, CAM, RansacOptions(scoring="nfa")
+        )
+        assert bool(ok_c) and bool(ok_n)
+        assert int(np.asarray(inl_n)[~junk].sum()) > 0.9 * int(
+            np.asarray(inl_c)[~junk].sum()
+        )
+        assert int(np.asarray(inl_n)[junk].sum()) < 8
