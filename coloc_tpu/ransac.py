@@ -181,10 +181,16 @@ def ransac(
         # two-threshold inlier counts and the exact NFA runs on the TOP
         # `_NFA_CANDIDATES` only; the winner among those is NFA-exact.
         all_res = jax.vmap(lambda m: scorer(m, *data))(flat_models)  # (Hm, M)
-        t_loose = 16.0 * threshold_sq  # 4x the pixel threshold
-        c_loose = jnp.sum((all_res < t_loose) & valid[None, :], axis=1)
-        c_tight = jnp.sum((all_res < threshold_sq) & valid[None, :], axis=1)
-        rank = c_loose * jnp.int32(M + 1) + c_tight  # lexicographic, int32-safe
+        # rank = integral of the inlier-count curve over a geometric
+        # threshold ladder around the nominal gate. A model must fit tightly
+        # AND broadly to rank high — counting at a single loose gate lets
+        # sloppy models that grab accidental outliers outrank the exact
+        # model, and a single tight gate is blind when the data's noise
+        # exceeds it (the adaptive-up case NFA exists for).
+        rank = jnp.zeros(all_res.shape[0], jnp.int32)
+        for j in range(-2, 3):
+            tj = threshold_sq * (4.0 ** j)
+            rank = rank + jnp.sum((all_res < tj) & valid[None, :], axis=1)
         rank = jnp.where(flat_valid, rank, -1)
         k_nfa = min(_NFA_CANDIDATES, rank.shape[0])
         _, cand = jax.lax.top_k(rank, k_nfa)

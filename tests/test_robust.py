@@ -106,7 +106,7 @@ class TestFivePoint:
             x1, x2 = self._make(rng, 8, planar)
             Es, valid = fivept.five_point(x1[:5], x2[:5])
             best = 1e9
-            for i in range(10):
+            for i in range(len(valid)):
                 if bool(valid[i]):
                     r = float(np.asarray(
                         ess.symmetric_epipolar_distance_sq(Es[i], x1, x2)
