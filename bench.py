@@ -424,20 +424,18 @@ def _bench_baseline_configs(config, cam, mapdb, img, feats0, iters):
     sess = ColocSession(config, np.stack([Kmat] * 2),
                         np.zeros((2, 3), np.float32))
     if sess.init_map({0: frames[0][0], 1: frames[1][0]}):
-        # warm the jit caches
-        sess.intra_pose(0, frames[0][1])
-        sess.intra_pose(1, frames[1][1])
+        # warm the jit caches (batched all-drones step: one dispatch/frame)
+        sess.intra_pose_all({0: frames[0][1], 1: frames[1][1]})
         n_ops = 0
         t0 = time.time()
         for rep in range(3):
             for f in (1, 2, 3):
-                for d in (0, 1):
-                    sess.intra_pose(d, frames[d][f])
-                    n_ops += 1
+                sess.intra_pose_all({d: frames[d][f] for d in (0, 1)})
+                n_ops += 2
         dt5 = (time.time() - t0) / n_ops
         print(
             f"# config[5 full session intra step]: {dt5 * 1e3:.2f} ms/op = "
-            f"{1 / dt5:.1f} ops/s (host-orchestrated)",
+            f"{1 / dt5:.1f} ops/s (host-orchestrated, batched drone axis)",
             file=sys.stderr,
         )
 

@@ -150,4 +150,9 @@ def _detect_and_describe_trip(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     )
 
 
-detect_and_describe_batch = jax.vmap(detect_and_describe, in_axes=(0, None))
+def detect_and_describe_batch(images: jnp.ndarray, opts: DetectorOptions) -> Features:
+    """(B, H, W) -> Features with leading batch axis. Statically unrolled —
+    the Pallas kernels inside don't admit a vmap batch axis on TPU; B copies
+    in one jit graph still dispatch once and pipeline on device."""
+    feats = [detect_and_describe(images[i], opts) for i in range(images.shape[0])]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *feats)

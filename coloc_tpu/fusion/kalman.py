@@ -66,6 +66,32 @@ def measurement_to_pose(x: jnp.ndarray) -> Pose:
     return Pose(R=so3.euler_to_rot(x[3:6]), C=x[:3])
 
 
+def update_all(
+    bank: FilterBank,
+    zs: jnp.ndarray,             # (D, 6) measurements
+    cov_centers: jnp.ndarray,    # (D, 3, 3) BA covariance center blocks
+    rmses: jnp.ndarray,          # (D,)
+    available: jnp.ndarray,      # (D,) bool
+    opts: FilterOptions,
+) -> Tuple[FilterBank, Pose, jnp.ndarray, jnp.ndarray]:
+    """One filter step for EVERY drone at once (vmapped bank update — the
+    TPU-first shape of the reference's sequential per-drone loop,
+    coloc.hpp:128-148). Returns (bank, poses stacked (D,...), dists (D,),
+    rejected (D,))."""
+
+    def one(x, P, steps, z, cov_c, rmse, avail):
+        b1 = FilterBank(x=x[None], P=P[None], steps=steps[None])
+        b2, pose, dist, rej = update(
+            b1, jnp.int32(0), z, cov_c, rmse, avail, opts
+        )
+        return b2.x[0], b2.P[0], b2.steps[0], pose, dist, rej
+
+    x, P, steps, poses, dists, rejs = jax.vmap(one)(
+        bank.x, bank.P, bank.steps, zs, cov_centers, rmses, available
+    )
+    return FilterBank(x=x, P=P, steps=steps), poses, dists, rejs
+
+
 def update(
     bank: FilterBank,
     drone: jnp.ndarray,          # () int32

@@ -33,7 +33,7 @@ from coloc_tpu.geometry import camera as cam_ops
 from coloc_tpu.geometry import se3, so3
 from coloc_tpu.io import loggers
 from coloc_tpu.sfm import localize, reconstruct
-from coloc_tpu.types import Features, MapDB, Pose, PoseWithCov
+from coloc_tpu.types import Features, MapDB, Matches, Pose, PoseWithCov
 
 
 class ColocSession:
@@ -63,6 +63,7 @@ class ColocSession:
         self.frame = 0
         self.key = jax.random.PRNGKey(seed)
         self.last_pose: Dict[int, PoseWithCov] = {}
+        self._pending_logs: list = []   # deferred CSV entries (flush_logs)
         # optional live visualization sink (io/liveviz.LiveViz — the
         # rosUtils.hpp pose/map publisher analog); pushes are no-ops when None
         self.viz = viz
@@ -144,6 +145,9 @@ class ColocSession:
             self.scene = scene
             self.mapdb = reconstruct.scene_to_mapdb(scene)
             self.map_ready = True
+            if self.viz is not None:
+                self.viz.publish_map(np.asarray(self.mapdb.X),
+                                     np.asarray(self.mapdb.valid))
             if self.out_dir:
                 loggers.write_ply(
                     os.path.join(self.out_dir, "map.ply"),
@@ -231,6 +235,141 @@ class ColocSession:
             self._map_bank_cached = matching.pack_map_bank(self.mapdb)
             self._map_bank_src = self.mapdb
         return self._map_bank_cached
+
+    def _fused_intra_all(self):
+        """One jitted frame step for ALL drones: batched detect -> one 2-NN
+        kernel call over the concatenated queries -> vmapped localization ->
+        vmapped KF bank update. The reference loops drones sequentially on
+        the host (coloc.hpp:128-148); batching the drone axis into a single
+        dispatch halves (at D=2) the per-frame dispatch count and lets the
+        per-drone work share the device."""
+        if getattr(self, "_fused_intra_all_fn", None) is not None:
+            return self._fused_intra_all_fn
+
+        cfg = self.config
+        D = cfg.num_drones
+        kp = cfg.detector.max_keypoints
+
+        @jax.jit
+        def step(keys, images, map_X, map_desc, map_valid, bank_st, bank_pen,
+                 Ks, dists, fb_x, fb_P, fb_steps):
+            mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
+            # static unrolled drone loop (not vmap): the Pallas detection
+            # kernels don't admit a batch axis on TPU; D copies in one graph
+            # still cost a single dispatch and pipeline on device
+            feats_list = [
+                detect_and_describe(images[d], cfg.detector) for d in range(D)
+            ]
+            feats = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *feats_list
+            )
+            # single resident-bank 2-NN call over all drones' queries
+            q = feats.desc.reshape(D * kp, -1)
+            qv = feats.valid.reshape(-1)
+            bank = (bank_st, bank_pen, map_X.shape[0])
+            idx, best, second = matching.hamming.hamming_2nn_bank(q, qv, bank)
+            ok = ((second - best) > cfg.matcher.margin_threshold
+                  if cfg.matcher.mode == "margin"
+                  else best.astype(jnp.float32)
+                  < cfg.matcher.dist_ratio * second.astype(jnp.float32))
+            ok = ok & qv & (best <= 512)
+            mm = Matches(
+                idx=jnp.where(ok, idx, -1).reshape(D, kp),
+                best=best.reshape(D, kp),
+                second=second.reshape(D, kp),
+            )
+
+            def loc_one(key, f, m, K, dist):
+                cam = cam_ops.Camera(K=K, dist=dist)
+                pwc, _ = localize.localize_image(
+                    key, f, m, mapdb, cam, cfg.ransac, cfg.refiner
+                )
+                return pwc
+
+            pwcs = jax.vmap(loc_one)(keys, feats, mm, Ks, dists)
+
+            fb = kalman.FilterBank(x=fb_x, P=fb_P, steps=fb_steps)
+            zs = jax.vmap(kalman.fill_measurement)(pwcs.pose)
+            fb, filtered, dist_g, rej = kalman.update_all(
+                fb, zs, pwcs.cov[:, 3:6, 3:6], pwcs.rmse, pwcs.success,
+                cfg.filter,
+            )
+            eulers = jax.vmap(so3.rot_to_euler)(pwcs.pose.R)
+            return pwcs, fb, filtered, dist_g, rej, eulers
+
+        self._fused_intra_all_fn = step
+        return step
+
+    def intra_pose_all(self, images) -> Dict[int, PoseWithCov]:
+        """Per-frame localization for every drone in one dispatch.
+
+        `images`: dict drone -> (H, W) array. Returns dict drone ->
+        PoseWithCov (filtered pose, covariance, rmse, success). Logging and
+        viz match intra_pose's per-drone behavior."""
+        cfg = self.config
+        D = cfg.num_drones
+        bank_st, bank_pen, _ = self._map_bank()
+        keys = jax.random.split(self._next_key(), D)
+        imgs = jnp.stack([jnp.asarray(images[d]) for d in range(D)])
+        with self.profiler.stage("intra_step_all"):
+            pwcs, fb, filtered, dist_g, rej, eulers = self._fused_intra_all()(
+                keys, imgs,
+                self.mapdb.X, self.mapdb.desc, self.mapdb.valid,
+                bank_st, bank_pen, self.Ks, self.dists,
+                self.filter_bank.x, self.filter_bank.P,
+                self.filter_bank.steps,
+            )
+        self.filter_bank = fb
+        # DEFERRED logging: pose/gate CSV conversion forces a host<->device
+        # sync; queueing the device outputs and flushing in bulk keeps the
+        # steady-state frame loop free of per-frame syncs so consecutive
+        # frames pipeline (run() flushes at the end; flush_logs() any time)
+        if self.pose_log or self.filtered_log or self.gate_log:
+            self._pending_logs.append(
+                (self.frame, pwcs, fb.P, filtered, dist_g, eulers)
+            )
+        out = {}
+        for d in range(D):
+            filt_d = Pose(R=filtered.R[d], C=filtered.C[d])
+            result = PoseWithCov(
+                pose=filt_d, cov=pwcs.cov[d], rmse=pwcs.rmse[d],
+                n_tracks=pwcs.n_tracks[d], success=pwcs.success[d],
+            )
+            self.last_pose[d] = result
+            if self.viz is not None:
+                Pd = np.asarray(fb.P[d])
+                self.viz.publish_pose(
+                    d, np.asarray(filt_d.C), cov3=Pd[:3, :3],
+                    success=bool(pwcs.success[d]), frame=self.frame,
+                )
+            out[d] = result
+        return out
+
+    def flush_logs(self):
+        """Write queued per-frame log entries (see intra_pose_all)."""
+        pending, self._pending_logs = self._pending_logs, []
+        for frame, pwcs, fbP, filtered, dist_g, eulers in pending:
+            D = self.config.num_drones
+            for d in range(D):
+                if self.pose_log:
+                    self.pose_log.log(
+                        frame, d, d, np.asarray(pwcs.pose.C[d]),
+                        np.asarray(pwcs.cov[d]), np.asarray(eulers[d]),
+                        float(pwcs.rmse[d]), int(pwcs.n_tracks[d]),
+                    )
+                if self.gate_log:
+                    self.gate_log.log(d, float(dist_g[d]))
+                if self.filtered_log:
+                    P = np.asarray(fbP[d])
+                    cov6 = np.zeros((6, 6))
+                    cov6[:3, :3] = P[3:6, 3:6]
+                    cov6[3:6, 3:6] = P[:3, :3]
+                    filt_d = Pose(R=filtered.R[d], C=filtered.C[d])
+                    self.filtered_log.log(
+                        frame, d, d, np.asarray(filt_d.C), cov6,
+                        np.asarray(so3.rot_to_euler(filt_d.R)),
+                        float(pwcs.rmse[d]), int(pwcs.n_tracks[d]),
+                    )
 
     def intra_pose(self, drone: int, image: np.ndarray) -> PoseWithCov:
         """Per-frame map-based localization + KF (intraPoseEstimator,
@@ -419,10 +558,12 @@ class ColocSession:
         consecutive_failures = 0
         for frame_idx in range(f, num_frames):
             self.frame = frame_idx
-            results = []
+            res_all = self.intra_pose_all(
+                {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
+            )
+            results = [res_all[d] for d in range(cfg.num_drones)]
             for d in range(cfg.num_drones):
-                results.append(self.intra_pose(d, frames[d][frame_idx]))
-                out[d].append(results[-1])
+                out[d].append(res_all[d])
             if inter_every and frame_idx % inter_every == 0 and cfg.num_drones >= 2:
                 self.inter_pose(0, 1, {d: frames[d][frame_idx] for d in range(cfg.num_drones)})
             trigger = update_map_every and frame_idx % update_map_every == 0
@@ -440,4 +581,5 @@ class ColocSession:
                 self.update_map(
                     {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
                 )
+        self.flush_logs()
         return out

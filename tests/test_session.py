@@ -123,3 +123,39 @@ class TestDeterminism:
             np.testing.assert_array_equal(Ra, Rb)
             np.testing.assert_array_equal(Ca, Cb)
             np.testing.assert_array_equal(Va, Vb)
+
+
+class TestBatchedIntra:
+    def test_intra_pose_all_matches_sequential(self, dataset):
+        """The batched all-drones step (one dispatch, TPU-first shape of the
+        reference's sequential drone loop) must produce the same localization
+        quality as per-drone intra_pose on identical inputs."""
+        frames, gt = dataset
+        s1 = make_session()
+        s2 = make_session()
+        boot = {0: frames[0][0], 1: frames[1][0]}
+        assert s1.init_map(boot) and s2.init_map(boot)
+
+        imgs = {0: frames[0][1], 1: frames[1][1]}
+        seq = {d: s1.intra_pose(d, imgs[d]) for d in (0, 1)}
+        bat = s2.intra_pose_all(imgs)
+
+        for d in (0, 1):
+            assert bool(seq[d].success) and bool(bat[d].success)
+            # same scene + same map: poses agree to localization noise
+            # (RNG keys differ between the two paths, so not bit-identical)
+            dc = np.linalg.norm(
+                np.asarray(seq[d].pose.C) - np.asarray(bat[d].pose.C))
+            assert dc < 0.05, f"drone {d} center diff {dc}"
+            cosang = (np.trace(np.asarray(seq[d].pose.R).T
+                               @ np.asarray(bat[d].pose.R)) - 1) / 2
+            assert np.degrees(np.arccos(np.clip(cosang, -1, 1))) < 1.0
+
+    def test_filter_bank_advances_once_per_drone(self, dataset):
+        frames, _ = dataset
+        s = make_session()
+        assert s.init_map({0: frames[0][0], 1: frames[1][0]})
+        steps0 = np.asarray(s.filter_bank.steps).copy()
+        s.intra_pose_all({0: frames[0][1], 1: frames[1][1]})
+        steps1 = np.asarray(s.filter_bank.steps)
+        assert ((steps1 - steps0) <= 1).all() and (steps1 >= steps0).all()
