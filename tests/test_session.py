@@ -159,3 +159,30 @@ class TestBatchedIntra:
         s.intra_pose_all({0: frames[0][1], 1: frames[1][1]})
         steps1 = np.asarray(s.filter_bank.steps)
         assert ((steps1 - steps0) <= 1).all() and (steps1 >= steps0).all()
+
+
+class TestFourDrones:
+    def test_four_drone_session(self):
+        """N>2 bootstrap (full incremental reconstruct_scene over all pairs)
+        + batched 4-drone steady loop + inter-drone fusion."""
+        scene = synthetic.make_scene(H, W, K, seed=5)
+        D, F = 4, 3
+        frames = {}
+        for d in range(D):
+            Rs, Cs = synthetic.trajectory(F, d)
+            frames[d] = [synthetic.render(scene, Rs[f], Cs[f])
+                         for f in range(F)]
+        config = ColocConfig(
+            num_drones=D,
+            detector=DetectorOptions(width=W, height=H, max_keypoints=512,
+                                     num_levels=4, fast_threshold=10),
+            max_landmarks=512,
+        )
+        sess = ColocSession(config, np.stack([K] * D),
+                            np.zeros((D, 3), np.float32))
+        results = sess.run(frames, inter_every=2)
+        assert sess.map_ready
+        n_ok = sum(int(bool(p.success)) for v in results.values() for p in v)
+        n_tot = sum(len(v) for v in results.values())
+        assert n_tot == D * (F - 1)
+        assert n_ok >= n_tot - 2, f"{n_ok}/{n_tot} localized"
