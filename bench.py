@@ -249,8 +249,13 @@ def _bench_capacity(cam, img, iters):
     jax.block_until_ready(loop(key, feats.desc))
     dt = (time.time() - t0) / iters
 
-    # raw 2-NN kernel comparison rate at capacity (array-carried feedback)
+    # raw 2-NN kernel comparison rate at capacity (array-carried feedback).
+    # _k2nn_pallas_padded requires tile-aligned inputs: pad the 5000 queries
+    # up to the 512-row tile multiple (the kernel genuinely computes the
+    # padded rows, so the rate uses the padded count)
     sq = hamming.unpack_bipolar(feats.desc)
+    qp = hamming._round_up(sq.shape[0], hamming._TQ)
+    sq = jnp.pad(sq, ((0, qp - sq.shape[0]), (0, 0)))
 
     @jax.jit
     def kloop(s0):
@@ -266,7 +271,7 @@ def _bench_capacity(cam, img, iters):
     t0 = time.time()
     jax.block_until_ready(kloop(sq))
     kdt = (time.time() - t0) / iters
-    gcmp = sq.shape[0] * landmarks / kdt / 1e9
+    gcmp = qp * landmarks / kdt / 1e9
 
     print(
         f"# capacity kp={kp} map={landmarks}: "

@@ -41,6 +41,7 @@ from coloc_tpu.ops import pyramid as pyr_ops
 from coloc_tpu.types import Features
 
 _DETECT_BORDER = 10
+_DEDUP_CAP = 1024  # cross-scale suppression candidate cap (see below)
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -68,10 +69,16 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
         ls.append(jnp.full_like(x, li, dtype=jnp.int32))
         sig.append(jnp.full_like(x, ev.sigma / (2.0 ** ev.octave)))
     # --- cross-scale extrema suppression (adjacent evolution levels) -------
-    # base-resolution coords + sigma per level candidate set
+    # base-resolution coords + sigma per level candidate set. The pairwise
+    # distance matrices are O(n^2) in the per-level candidate count, so the
+    # comparison is capped at the strongest _DEDUP_CAP candidates per level
+    # (top-k output is score-sorted); duplicates among weaker tails are left
+    # to the global top-k, bounding the worst case at reference capacity
+    # (kp=5000 would otherwise build 15x 5000x5000 matrices per frame).
+    cap = min(k, _DEDUP_CAP)
     oct_of = [ev.octave for ev in levels]
-    bx = [x * (2.0 ** oct_of[li]) for li, x in enumerate(xs)]
-    by = [y * (2.0 ** oct_of[li]) for li, y in enumerate(ys)]
+    bx = [x[:cap] * (2.0 ** oct_of[li]) for li, x in enumerate(xs)]
+    by = [y[:cap] * (2.0 ** oct_of[li]) for li, y in enumerate(ys)]
     bsig = [levels[li].sigma for li in range(len(levels))]
     for li in range(len(levels) - 1):
         r = max(bsig[li], bsig[li + 1])
@@ -80,12 +87,12 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
             + (by[li][:, None] - by[li + 1][None, :]) ** 2
         )
         close = d2 < r * r
-        s_a, s_b = ss[li], ss[li + 1]
+        s_a, s_b = ss[li][:cap], ss[li + 1][:cap]
         # suppress the weaker of a close pair; ties suppress the coarser level
         sup_a = jnp.any(close & (s_b[None, :] > s_a[:, None]), axis=1)
         sup_b = jnp.any(close & (s_a[:, None] >= s_b[None, :]), axis=0)
-        ss[li] = jnp.where(sup_a, 0.0, s_a)
-        ss[li + 1] = jnp.where(sup_b, 0.0, s_b)
+        ss[li] = ss[li].at[:cap].set(jnp.where(sup_a, 0.0, s_a))
+        ss[li + 1] = ss[li + 1].at[:cap].set(jnp.where(sup_b, 0.0, s_b))
 
     cx = jnp.concatenate(xs)
     cy = jnp.concatenate(ys)

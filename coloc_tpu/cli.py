@@ -115,14 +115,16 @@ def main(argv=None):
         f"{n_ok}/{n_done} localized; logs in {args.out}/"
     )
     if viz is not None:
-        print(f"live viz still serving at {viz.url} — ctrl-c to exit")
-        try:
-            import time as _t
+        if sys.stdin.isatty():
+            print(f"live viz still serving at {viz.url} — ctrl-c to exit")
+            try:
+                import time as _t
 
-            while True:
-                _t.sleep(1)
-        except KeyboardInterrupt:
-            viz.close()
+                while True:
+                    _t.sleep(1)
+            except KeyboardInterrupt:
+                pass
+        viz.close()
     return 0
 
 

@@ -86,10 +86,6 @@ def _null_basis(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1
     )  # (5, 9)
     # null space via complete QR of A^T: the trailing 4 columns of Q are
-    # orthogonal to range(A^T) = row space of A. Same f32 conditioning as the
-    # SVD route (no normal-equation squaring) at ~4x less device time — TPU
-    # SVD runs many more Jacobi sweeps than a 9x9 Householder QR.
-    # null space via complete QR of A^T: the trailing 4 columns of Q are
     # orthogonal to range(A^T) = row space of A. ~10x cheaper than the SVD
     # route on TPU (batch SVD dominates the whole solver), same f32 accuracy
     # under the library-wide HIGHEST matmul precision. Near-double roots of
@@ -235,7 +231,9 @@ def _durand_kerner(coeffs: jnp.ndarray, degree: int = 10, iters: int = 60):
 def five_point(
     x1: jnp.ndarray, x2: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """5 correspondences (5,2)+(5,2) -> (10, 3, 3) E candidates + (10,) valid."""
+    """5 correspondences (5,2)+(5,2) -> (30, 3, 3) E candidates + (30,)
+    valid (10 polynomial roots x 3 split seeds; see the split-seed note
+    below)."""
     basis = _null_basis(x1, x2)
     M = _constraint_matrix(basis)  # (10, 20)
 

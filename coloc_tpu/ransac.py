@@ -7,11 +7,12 @@ once, vmap the minimal solver (which may emit several candidate models per
 sample), score every model against every correspondence in one (B, M)
 computation, argmax inlier count (SURVEY.md §7.1.4).
 
-Deviation (documented): scoring uses a fixed inlier threshold rather than
-AC-RANSAC's adaptive NFA threshold; the acceptance gate is the same
-`inliers >= inlier_multiple x minimal sample` rule the reference applies on
-top of AC-RANSAC (RobustMatcher.hpp:147,175,210). An a-contrario scored
-variant can be layered on the same batched machinery later.
+Scoring modes: "nfa" (the DEFAULT) is a-contrario ACRANSAC with a fully
+adaptive inlier threshold (infinite max admissible error, matching the
+reference's initial_residual_tolerance defaults); "count" is the fixed-
+threshold fallback. Both apply the same `inliers >= inlier_multiple x
+minimal sample` acceptance gate the reference layers on top of ACRANSAC
+(RobustMatcher.hpp:147,175,210).
 
 Degenerate-sample hygiene: minimal samples are drawn WITHOUT replacement
 (Floyd's algorithm, fixed-shape) so no hypothesis budget is burned on
@@ -153,8 +154,9 @@ def ransac(
 
     scoring="count" ranks models by inliers under the fixed threshold;
     scoring="nfa" ranks by a-contrario NFA with a per-model ADAPTIVE
-    threshold (OpenMVG ACRANSAC parity; `threshold_sq` then acts as the
-    maximum admissible threshold).
+    threshold and NO maximum admissible error (OpenMVG ACRANSAC parity —
+    the reference passes infinite initial tolerances); under "nfa",
+    `threshold_sq` only seeds the candidate pre-rank ladder.
     """
     M = valid.shape[0]
     idx = sample_indices(key, valid, num_hypotheses, sample_size)  # (B, S)

@@ -66,7 +66,7 @@ def relative_pose_essential(
     thr_sq = opts.essential_threshold ** 2
 
     def solver(s1, s2):
-        return fivept.five_point(s1, s2)  # (10, 3, 3), (10,)
+        return fivept.five_point(s1, s2)  # (30, 3, 3), (30,)
 
     def scorer(E, a1, a2):
         return ess.symmetric_epipolar_distance_sq(E, a1, a2, f1_sq, f2_sq)

@@ -268,15 +268,14 @@ class ColocSession:
             qv = feats.valid.reshape(-1)
             bank = (bank_st, bank_pen, map_X.shape[0])
             idx, best, second = matching.hamming.hamming_2nn_bank(q, qv, bank)
-            ok = ((second - best) > cfg.matcher.margin_threshold
-                  if cfg.matcher.mode == "margin"
-                  else best.astype(jnp.float32)
-                  < cfg.matcher.dist_ratio * second.astype(jnp.float32))
-            ok = ok & qv & (best <= 512)
+            m_flat = matching._accept(
+                idx, best, second, qv, cfg.matcher,
+                cfg.matcher.margin_threshold,
+            )
             mm = Matches(
-                idx=jnp.where(ok, idx, -1).reshape(D, kp),
-                best=best.reshape(D, kp),
-                second=second.reshape(D, kp),
+                idx=m_flat.idx.reshape(D, kp),
+                best=m_flat.best.reshape(D, kp),
+                second=m_flat.second.reshape(D, kp),
             )
 
             def loc_one(key, f, m, K, dist):
@@ -581,5 +580,9 @@ class ColocSession:
                 self.update_map(
                     {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
                 )
+            # periodic flush bounds queued device pytrees without breaking
+            # steady-state pipelining (64 frames of pose/cov tuples ~ KBs)
+            if len(self._pending_logs) >= 64:
+                self.flush_logs()
         self.flush_logs()
         return out
