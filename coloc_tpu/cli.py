@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--inter-every", type=int, default=10)
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a synthetic dataset instead of reading --folder")
+    ap.add_argument("--euroc", nargs="+", metavar="SEQ",
+                    help="EuRoC ASL sequence roots, one per drone "
+                         "(mav0/cam0/{data,sensor.yaml}); overrides "
+                         "--folder/--calib")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--viz", nargs="?", const=8765, type=int, default=None,
                     metavar="PORT",
@@ -48,7 +52,16 @@ def main(argv=None):
     from coloc_tpu.io import disk, synthetic
     from coloc_tpu.session import ColocSession
 
-    if args.synthetic:
+    euroc_frames = None
+    if args.euroc:
+        from coloc_tpu.io import euroc as euroc_io
+
+        args.drones = len(args.euroc)
+        euroc_frames, Ks, dists, size = euroc_io.load_dataset(
+            args.euroc, num_frames=args.frames)
+        print(f"loaded {args.drones} EuRoC sequences, "
+              f"{len(euroc_frames[0])} frames each")
+    elif args.synthetic:
         h, w = 240, 320
         K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32)
         Ks = np.stack([K] * args.drones)
@@ -82,10 +95,13 @@ def main(argv=None):
     )
     session = ColocSession(config, Ks, dists, out_dir=args.out, viz=viz)
 
-    n = args.frames or disk.num_frames(args.folder)
     from coloc_tpu.io import native_loader
 
-    if native_loader.available():
+    if euroc_frames is not None:
+        frames = euroc_frames
+        n = len(frames[0])
+    elif native_loader.available():
+        n = args.frames or disk.num_frames(args.folder)
         # native C++ prefetching loader (PNG/PGM via zlib, decode overlaps
         # device compute)
         with native_loader.NativeLoader(
@@ -99,6 +115,7 @@ def main(argv=None):
                 for d in range(args.drones):
                     frames[d].append(loader.get(d, f))
     else:
+        n = args.frames or disk.num_frames(args.folder)
         frames = {
             d: [disk.load_frame(args.folder, d, f) for f in range(n)]
             for d in range(args.drones)

@@ -1,0 +1,99 @@
+"""EuRoC-layout ingest tests (mock sequence written in ASL directory form) +
+patch-coverage property test for the frontend sampling machinery."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from coloc_tpu.io import euroc, synthetic
+
+
+H, W = 96, 128
+K = np.array([[100.0, 0, 64], [0, 101.0, 48], [0, 0, 1]], np.float32)
+
+
+def _write_sequence(root, t0_ns, n, scene, drone):
+    cam = os.path.join(root, "mav0", "cam0")
+    os.makedirs(os.path.join(cam, "data"))
+    with open(os.path.join(cam, "sensor.yaml"), "w") as f:
+        f.write(
+            "sensor_type: camera\n"
+            "intrinsics: [100.0, 101.0, 64.0, 48.0]\n"
+            "distortion_model: radial-tangential\n"
+            "distortion_coefficients: [-0.28, 0.07, 0.0002, 0.00002]\n"
+            f"resolution: [{W}, {H}]\n"
+        )
+    from coloc_tpu.io.synthetic import trajectory, render
+
+    Rs, Cs = trajectory(n, drone)
+    for i in range(n):
+        img = render(scene, Rs[i], Cs[i]).astype(np.uint8)
+        ts = t0_ns + i * 50_000_000  # 20 Hz
+        Image.fromarray(img, mode="L").save(
+            os.path.join(cam, "data", f"{ts}.png"))
+
+
+class TestEurocIngest:
+    def test_load_two_sequences(self, tmp_path, rng):
+        scene = synthetic.make_scene(H, W, K, seed=4)
+        # drone 1's clock offset by 20 ms: nearest-timestamp alignment
+        _write_sequence(str(tmp_path / "seq0"), 1_000_000_000, 5, scene, 0)
+        _write_sequence(str(tmp_path / "seq1"), 1_020_000_000, 5, scene, 1)
+
+        frames, Ks, dists, size = euroc.load_dataset(
+            [str(tmp_path / "seq0"), str(tmp_path / "seq1")], num_frames=4)
+        assert size == (W, H)
+        assert Ks.shape == (2, 3, 3) and abs(Ks[0, 0, 0] - 100.0) < 1e-6
+        # radial terms kept, tangential dropped
+        np.testing.assert_allclose(dists[0], [-0.28, 0.07, 0.0], atol=1e-6)
+        assert len(frames[0]) == len(frames[1]) == 4
+        assert frames[0][0].shape == (H, W)
+        # alignment: drone 1's first kept frame is its own t=1.02s image
+        # (nearest to drone 0's 1.00s), not a copy of drone 0's
+        assert not np.array_equal(frames[0][0], frames[1][0])
+
+    def test_sensor_yaml_missing_key(self, tmp_path):
+        p = tmp_path / "sensor.yaml"
+        p.write_text("sensor_type: camera\n")
+        with pytest.raises(ValueError):
+            euroc.read_sensor_yaml(str(p))
+
+
+class TestPatchCoverageInvariant:
+    def test_all_samples_land_inside_patch(self, rng):
+        """patch_origins' guarantee: every clamped sample within _MARGIN of
+        the keypoint falls inside the (PH, PW) window — fuzzed over random
+        keypoints, levels, and edge positions."""
+        from coloc_tpu.ops import patches as patch_ops
+        from coloc_tpu.ops import pyramid as pyr_ops
+
+        img = jnp.asarray(rng.uniform(0, 255, (120, 200)), jnp.float32)
+        levels = pyr_ops.build_pyramid(img, 4, 1.2)
+        sp = patch_ops.stack_levels(levels)
+
+        n = 512
+        kp_l = jnp.asarray(rng.integers(0, 4, n), jnp.int32)
+        hs = np.asarray(sp.heights)[np.asarray(kp_l)]
+        ws = np.asarray(sp.widths)[np.asarray(kp_l)]
+        # include exact borders and corners
+        kp_x = jnp.asarray(rng.uniform(0, ws - 1) * rng.choice([0, 1, 1], n)
+                           + (ws - 1) * (rng.random(n) < 0.1), jnp.float32)
+        kp_y = jnp.asarray(np.clip(rng.uniform(0, hs - 1), 0, None),
+                           jnp.float32)
+        kp_x = jnp.clip(kp_x, 0, jnp.asarray(ws - 1, jnp.float32))
+
+        row0, col0 = patch_ops.patch_origins(sp, kp_x, kp_y, kp_l)
+        row0n, col0n = np.asarray(row0), np.asarray(col0)
+        rbn = np.asarray(sp.row_base)[np.asarray(kp_l)]
+
+        d = patch_ops._MARGIN
+        for dx, dy in [(-d, 0), (d, 0), (0, -d), (0, d), (-d, -d), (d, d)]:
+            gx = np.clip(np.asarray(kp_x) + dx, 0, ws - 1)
+            gy = np.clip(np.asarray(kp_y) + dy, 0, hs - 1)
+            lx = gx - col0n
+            ly = (rbn + gy) - row0n
+            assert (lx >= -1e-3).all() and (lx <= patch_ops.PW - 1 + 1e-3).all()
+            assert (ly >= -1e-3).all() and (ly <= patch_ops.PH - 1 + 1e-3).all()
