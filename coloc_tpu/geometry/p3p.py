@@ -7,9 +7,10 @@ formulation because it reduces to (a) a quartic whose coefficients come from
 pure polynomial arithmetic and (b) a 3-point Horn alignment — both of which
 batch/vmap cleanly on TPU with no data-dependent branching.
 
-The quartic is solved by fixed-iteration Durand-Kerner (complex64, 24 steps,
-trace-static) + 2 Newton polish steps — no closed-form case analysis, no
-nonsymmetric eigensolve (unsupported on TPU).
+The quartic is solved in closed form (Ferrari resolvent, branchless via
+discriminant selects) + 2 Newton polish steps — no iterative root finder
+(24 sequential Durand-Kerner steps cost more than the rest of the solver on
+TPU), no nonsymmetric eigensolve (unsupported on TPU).
 
 Each minimal sample yields up to 4 pose candidates with a validity mask; the
 RANSAC harness scores all of them.
@@ -36,37 +37,89 @@ def _polymul(p, q):
     return res
 
 
-def _durand_kerner_quartic(coeffs: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
-    """Roots of c0 + c1 v + c2 v^2 + c3 v^3 + c4 v^4, (4,) complex64."""
-    c = coeffs / (coeffs[4] + jnp.where(jnp.abs(coeffs[4]) < 1e-20, 1e-20, 0.0))
+def _quartic_real_roots(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form (Ferrari) real roots of c0 + c1 v + ... + c4 v^4.
 
-    def poly(z):
-        return ((((z + c[3]) * z + c[2]) * z + c[1]) * z) + c[0]
+    Returns (roots (4,), is_real (4,)). Branchless: the resolvent cubic is
+    solved with both the trigonometric (three-real-root) and Cardano
+    (one-real-root) formulas and the discriminant selects; quadratic factors
+    with negative discriminants mark their root pair invalid. Replaces a
+    24-step Durand-Kerner fori_loop — 24 sequential tiny complex ops cost
+    more wall-clock on TPU than the whole remaining solver — and keeps the
+    same 2-step Newton polish to shave the f32 formula noise.
+    """
+    lead = coeffs[4]
+    lead = jnp.where(jnp.abs(lead) < 1e-20, 1e-20, lead)
+    c = coeffs / lead
+    a3, a2, a1, a0 = c[3], c[2], c[1], c[0]
 
-    # standard distinct starting points
-    z0 = jnp.array(
-        [0.4 + 0.9j, (0.4 + 0.9j) ** 2, (0.4 + 0.9j) ** 3, (0.4 + 0.9j) ** 4],
-        jnp.complex64,
-    )
+    # depressed quartic y^4 + p y^2 + q y + r with v = y - a3/4
+    sh = a3 / 4.0
+    p = a2 - 3.0 * a3 * a3 / 8.0
+    q = a1 - a3 * a2 / 2.0 + a3 ** 3 / 8.0
+    r = a0 - a3 * a1 / 4.0 + a3 * a3 * a2 / 16.0 - 3.0 * a3 ** 4 / 256.0
 
-    def body(_, z):
-        def update(k, zk):
-            others = jnp.prod(jnp.where(jnp.arange(4) == k, 1.0 + 0.0j, zk - z))
-            return zk - poly(zk) / (others + 1e-20)
-        return jnp.stack([update(k, z[k]) for k in range(4)])
+    # resolvent cubic  m^3 + p m^2 + (p^2/4 - r) m - q^2/8 = 0; its largest
+    # real root is >= 0 and yields the factorization parameter s = sqrt(2 m)
+    cb = p
+    cc = p * p / 4.0 - r
+    cd = -q * q / 8.0
+    # depressed cubic w^3 + P w + Q, m = w - cb/3
+    P = cc - cb * cb / 3.0
+    Q = cd - cb * cc / 3.0 + 2.0 * cb ** 3 / 27.0
+    disc = (Q / 2.0) ** 2 + (P / 3.0) ** 3
 
-    z = jax.lax.fori_loop(0, iters, body, z0)
+    # trig branch (disc <= 0: three real roots; largest at k = 0)
+    Pn = jnp.minimum(P, -1e-20)
+    theta = jnp.arccos(jnp.clip(
+        (3.0 * Q) / (2.0 * Pn) * jnp.sqrt(-3.0 / Pn), -1.0, 1.0))
+    w_trig = 2.0 * jnp.sqrt(-Pn / 3.0) * jnp.cos(theta / 3.0)
+    # Cardano branch (disc > 0: one real root)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
 
-    # Newton polish on the real axis for near-real roots
-    def dpoly(x):
-        return ((4.0 * x + 3.0 * c[3]) * x + 2.0 * c[2]) * x + c[1]
+    def cbrt(x):
+        return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
 
-    x = jnp.real(z)
+    w_card = cbrt(-Q / 2.0 + sq) + cbrt(-Q / 2.0 - sq)
+    w = jnp.where(disc > 0.0, w_card, w_trig)
+    m = w - cb / 3.0
+    # Newton-polish the resolvent root: f32 cancellation in the cubic
+    # formulas is the main source of lost quartic roots downstream
     for _ in range(2):
-        x = x - jnp.real(poly(x.astype(jnp.complex64))) / (
-            jnp.real(dpoly(x)) + 1e-12
-        )
-    is_real = jnp.abs(jnp.imag(z)) < 1e-3 * (jnp.abs(jnp.real(z)) + 1.0)
+        f_m = ((m + cb) * m + cc) * m + cd
+        df_m = (3.0 * m + 2.0 * cb) * m + cc
+        m = m - f_m / jnp.where(jnp.abs(df_m) < 1e-12, 1e-12, df_m)
+    m = jnp.maximum(m, 0.0)
+
+    s = jnp.sqrt(2.0 * m + 1e-20)
+    half = (p + 2.0 * m) / 2.0
+    qs = q / (2.0 * s)
+    A = half - qs          # y^2 + s y + A
+    B = half + qs          # y^2 - s y + B
+    dA = s * s - 4.0 * A
+    dB = s * s - 4.0 * B
+    rA = jnp.sqrt(jnp.maximum(dA, 0.0))
+    rB = jnp.sqrt(jnp.maximum(dB, 0.0))
+    roots_y = jnp.stack([
+        (-s + rA) / 2.0, (-s - rA) / 2.0,
+        (s + rB) / 2.0, (s - rB) / 2.0,
+    ])
+    # loose realness gate (like the DK version): marginal pairs survive to
+    # the Newton polish; clearly-complex pairs are masked
+    tol = 1e-3 * (1.0 + s * s + jnp.abs(half) + jnp.abs(qs))
+    is_real = jnp.stack([dA > -tol, dA > -tol, dB > -tol, dB > -tol])
+    x = roots_y - sh
+
+    # Newton polish on the original quartic
+    def poly(v):
+        return ((((v + c[3]) * v + c[2]) * v + c[1]) * v) + c[0]
+
+    def dpoly(v):
+        return ((4.0 * v + 3.0 * c[3]) * v + 2.0 * c[2]) * v + c[1]
+
+    for _ in range(2):
+        x = x - poly(x) / (dpoly(x) + 1e-12)
+    is_real = is_real & jnp.isfinite(x)
     return x, is_real
 
 
@@ -136,7 +189,7 @@ def p3p_grunert(
     ]
     coeffs = jnp.stack(q)
 
-    v_roots, is_real = _durand_kerner_quartic(coeffs)
+    v_roots, is_real = _quartic_real_roots(coeffs)
 
     def solution(v):
         Nv = (N[2] * v + N[1]) * v + N[0]

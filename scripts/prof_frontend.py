@@ -14,7 +14,7 @@ from coloc_tpu.ops import pyramid as pyr_ops
 from coloc_tpu.io import synthetic
 
 H, W, KP, LEVELS = 480, 752, 1024, 8
-ITERS = 50
+ITERS = 800
 
 
 def chain(name, fn, x0):

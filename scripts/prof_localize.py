@@ -17,7 +17,7 @@ from coloc_tpu.sfm.ba import refine_pose_only
 from coloc_tpu.types import MapDB
 
 H, W, KP, L, LEVELS = 480, 752, 1024, 4096, 8
-ITERS = 50
+ITERS = 600
 
 
 def chain(name, fn, x0):
@@ -49,10 +49,14 @@ def main():
     feats0 = detect_and_describe(img, config.detector)
     rng = np.random.default_rng(0)
     pad = L - KP
+    # consistent map geometry (see bench.py): landmarks on the frame's
+    # bearings so P3P/LM run the convergent production path
+    uv0 = np.asarray(feats0.xy)
+    depths = rng.uniform(5.0, 14.0, (KP, 1)).astype(np.float32)
+    dirs = (np.linalg.inv(K) @ np.c_[uv0, np.ones(KP)].T).T.astype(np.float32)
     mapdb = MapDB(
         X=jnp.asarray(np.concatenate(
-            [np.c_[rng.uniform(-3, 3, (KP, 2)), rng.uniform(5, 14, (KP, 1))],
-             rng.uniform(-3, 3, (pad, 3))])[:L], jnp.float32),
+            [dirs * depths, rng.uniform(-3, 3, (pad, 3))])[:L], jnp.float32),
         desc=jnp.concatenate([
             feats0.desc,
             jnp.asarray(rng.integers(0, 2 ** 32, (pad, 16), dtype=np.uint64)
