@@ -26,13 +26,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from coloc_tpu import matching, robust, utils
 from coloc_tpu.config import ColocConfig
 from coloc_tpu.frontend import detect_and_describe
 from coloc_tpu.fusion import covint, kalman
 from coloc_tpu.geometry import camera as cam_ops
 from coloc_tpu.matching import match_with_map
-from coloc_tpu.sfm import localize
-from coloc_tpu.types import MapDB, Pose
+from coloc_tpu.sfm import localize, reconstruct
+from coloc_tpu.types import Features, MapDB, Pose
 
 DRONE_AXIS = "drone"
 
@@ -48,13 +49,14 @@ def _per_drone_step(
     """One drone's full frame step (runs on one device inside shard_map).
 
     All leading axes are the local shard (size 1); returns updated filter
-    state + pose + covariance.
+    state + pose + covariance + the detected features (reused by the
+    inter-drone exchange).
     """
     cam = cam_ops.Camera(K=K[0], dist=dist[0])
     feats = detect_and_describe(image[0], config.detector)
     mm = match_with_map(feats, mapdb, config.matcher)
     pwc, _ = localize.localize_image(
-        key[0], feats, mm, mapdb, cam, config.ransac, config.refiner
+        key, feats, mm, mapdb, cam, config.ransac, config.refiner
     )
 
     bank = kalman.FilterBank(x=fb_x, P=fb_P, steps=fb_steps)
@@ -63,47 +65,238 @@ def _per_drone_step(
         bank, jnp.int32(0), z, pwc.cov[3:6, 3:6], pwc.rmse, pwc.success,
         config.filter,
     )
-    return bank, filtered, pwc
+    return bank, filtered, pwc, feats
+
+
+def inter_pose_device(
+    key,
+    f_dst: Features,          # my (destination) frame features
+    f_src: Features,          # partner (source) frame features — exchanged
+    cam_src: cam_ops.Camera,
+    cam_dst: cam_ops.Camera,
+    Ks_pair: jnp.ndarray,     # (2, 3, 3) [src, dst]
+    dists_pair: jnp.ndarray,  # (2, 3)
+    src_pose: Pose,           # partner's current (filtered) world pose
+    src_cov3: jnp.ndarray,    # (3, 3) partner's intra position covariance
+    dst_pos: jnp.ndarray,     # (3,) my current position estimate
+    dst_cov3: jnp.ndarray,    # (3, 3) my intra position covariance
+    mapdb: MapDB,             # replicated shared map
+    config: ColocConfig,
+):
+    """interPoseEstimator stage-for-stage as ONE device computation
+    (coloc.hpp:274-392), fully masked — no host branching:
+
+      1. pairwise match src->dst            (:287  computeMatchesPair)
+      2. robust relative pose               (:296  filterMatchesPair)
+      3. temp two-view reconstruction       (:306  interReconstruct)
+      4. map-to-map descriptor match        (:317-323 setupMapDatabase(1)
+                                                   + matchMapFeatures)
+      5. monocular scale alignment          (:331-336 computeScaleDifference
+                                                   + rescaleMap)
+      6. pose-only refine -> covariance     (:339-341 refinePose)
+      7. compose src o rel candidate + ICI  (:351-389 CovIntersection)
+
+    Failure semantics (reference: early returns) become a mask: if the
+    relative pose fails or too few common landmarks exist, the fused output
+    is the drone's own intra estimate. Returns
+    (fused_pos (3,), fused_cov (3,3), ok (), rel: Pose, scale ()).
+    """
+    cfg = config
+    # 1. pairwise putative match (query = src, train = dst)
+    m = matching.match_pair(f_src, f_dst, cfg.matcher)
+
+    # 2. robust relative pose src -> dst (model dispatch is static)
+    rel_fn = {
+        "E": robust.relative_pose_essential,
+        "F": robust.relative_pose_fundamental,
+        "H": robust.relative_pose_homography,
+    }[cfg.model]
+    geo = rel_fn(
+        key, f_src.xy, f_dst.xy[m.idx], m.mask, cam_src, cam_dst, cfg.ransac
+    )
+
+    # 3. temporary two-view scene, src-anchored (interReconstruct parity)
+    temp = reconstruct.two_view_scene(
+        f_src, f_dst, m, geo.inliers, geo.R, geo.t,
+        Pose(R=jnp.eye(3), C=jnp.zeros(3)), 1.0,
+        cam_src, cam_dst, num_landmarks=cfg.max_landmarks,
+    )
+    temp_db = reconstruct.scene_to_mapdb(temp)   # setupMapDatabase(inter=1)
+
+    # 4. map-to-map descriptor match against the replicated shared map
+    mm = matching.match_maps(mapdb, temp_db, cfg.matcher)
+    n_common = jnp.sum((mm.mask & mapdb.valid).astype(jnp.int32))
+
+    # 5. monocular scale alignment between the maps
+    scale = utils.compute_scale_difference(mapdb, temp_db, mm)
+    Xs, Cs = utils.rescale_map(temp.X, temp.Cs, scale)
+    temp = temp._replace(X=Xs, Cs=Cs)
+
+    # 6. pose-only refinement of the scaled relative pose -> 6x6 covariance
+    temp, ba_res = reconstruct.refine_scene(
+        temp, Ks_pair, dists_pair, cfg.refiner,
+        fix_pose=jnp.asarray([True, False]), cov_view=1,
+    )
+
+    # 7. compose the fused candidate and ICI-fuse with my intra estimate
+    rel = Pose(R=temp.Rs[1], C=temp.Cs[1])
+    cand_C = src_pose.C + src_pose.R.T @ rel.C
+    C_intra = dst_cov3 + 1e-6 * jnp.eye(3)
+    C_cand = src_cov3 + ba_res.cov[3:6, 3:6] + 1e-6 * jnp.eye(3)
+    fused = covint.fuse(C_intra, C_cand, dst_pos, cand_C)
+
+    ok = geo.success & (n_common >= 2)
+    fused_pos = jnp.where(ok, fused.pos, dst_pos)
+    fused_cov = jnp.where(ok, fused.cov, C_intra)
+    return fused_pos, fused_cov, ok, rel, scale
+
+
+def _inter_exchange_step(
+    key, feats: Features, K, dist, myR, myC, cov3, mapdb: MapDB,
+    config: ColocConfig,
+):
+    """Ring exchange + full inter-drone step (runs INSIDE shard_map; all
+    per-shard leading axes already stripped).
+
+    Drone d ships its frame bundle — descriptor bank, keypoints, camera,
+    filtered pose, covariance — to drone (d+1)%D over ICI via ppermute, so
+    each drone receives its ring predecessor's bundle and runs
+    inter_pose_device(src=(d-1)%D, dst=d) locally. The payload is
+    ~64 B/keypoint + a few hundred bytes of pose state: exactly what the
+    reference shipped over ROS topics (SURVEY §2.2).
+    """
+    n = jax.lax.axis_size(DRONE_AXIS)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    shift = lambda x: jax.lax.ppermute(x, DRONE_AXIS, perm)
+    f_src = jax.tree_util.tree_map(shift, feats)
+    K_src = shift(K)
+    dist_src = shift(dist)
+    src_R = shift(myR)
+    src_C = shift(myC)
+    src_cov3 = shift(cov3)
+    return inter_pose_device(
+        key, feats, f_src,
+        cam_ops.Camera(K=K_src, dist=dist_src),
+        cam_ops.Camera(K=K, dist=dist),
+        jnp.stack([K_src, K]),
+        jnp.stack([dist_src, dist]),
+        Pose(R=src_R, C=src_C), src_cov3,
+        myC, cov3, mapdb, config,
+    )
+
+
+def sharded_inter_step(mesh: Mesh, config: ColocConfig):
+    """Standalone sharded interPoseEstimator over precomputed per-drone
+    state (the session path detects features + runs intra localization
+    first; this is the inter-drone event as one mesh collective program).
+
+    Returns a jitted fn:
+      (keys (D, 2) uint32, feats: Features (D, ...), Ks (D, 3, 3),
+       dists (D, 3), Rs (D, 3, 3), Cs (D, 3), cov3s (D, 3, 3),
+       mapdb: MapDB (replicated))
+      -> (fused_pos (D, 3), fused_cov (D, 3, 3), ok (D,) bool,
+          rel_R (D, 3, 3), rel_C (D, 3), scale (D,))
+    where drone d's outputs fuse it (dst) with ring predecessor (d-1)%D
+    (src) — for D=2, drone 1's row reproduces the reference's
+    interPoseEstimator(0, 1).
+    """
+    dspec = P(DRONE_AXIS)
+    rep = P()
+
+    def step(keys, f_leaves, Ks, dists, Rs, Cs, cov3s,
+             map_X, map_desc, map_valid):
+        mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
+        feats = Features(*[l[0] for l in f_leaves])
+        fused_pos, fused_cov, ok, rel, scale = _inter_exchange_step(
+            keys[0], feats, Ks[0], dists[0], Rs[0], Cs[0], cov3s[0],
+            mapdb, config,
+        )
+        return (fused_pos[None], fused_cov[None], ok[None],
+                rel.R[None], rel.C[None], scale[None])
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            dspec, (dspec,) * 6, dspec, dspec, dspec, dspec, dspec,
+            rep, rep, rep,
+        ),
+        out_specs=(dspec,) * 6,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(keys, feats: Features, Ks, dists, Rs, Cs, cov3s, mapdb: MapDB):
+        return sharded(
+            keys, tuple(feats), Ks, dists, Rs, Cs, cov3s,
+            mapdb.X, mapdb.desc, mapdb.valid,
+        )
+
+    return run
 
 
 def collaborative_step(
     mesh: Mesh,
     config: ColocConfig,
+    inter: str = "full",
 ):
     """Build the jitted multi-drone step function over `mesh`.
 
     Signature of the returned fn:
       (keys (D,2) uint32, images (D,H,W) f32, Ks (D,3,3), dists (D,3),
        fb: FilterBank (D,...), mapdb: MapDB (replicated))
-      -> (fb', positions (D,3), covs (D,3,3), fused_pos (D,3), fused_cov (D,3,3))
+      -> (fb', positions (D,3), covs (D,3,3), fused_pos (D,3),
+          fused_cov (D,3,3), inter_ok (D,) bool)
 
-    Inter-drone exchange: all_gather positions+covariances over the drone
-    axis, then each drone ICI-fuses its estimate with its ring neighbor's —
-    the collective replacing ROS pose topics.
+    `inter` selects the inter-drone exchange that replaces ROS topics:
+      - "full" (default): the complete interPoseEstimator on the mesh.
+        Each drone ppermutes its FEATURE BANK (descriptors + keypoints +
+        camera + pose + covariance) to its ring successor over ICI, so every
+        drone receives its predecessor's frame data and runs pairwise match
+        -> relative pose -> temp reconstruction -> scale alignment ->
+        pose-only refine -> ICI fusion locally (inter_pose_device). This is
+        the descriptor-bank exchange SURVEY §2.2 calls for — the collective
+        carries ~64 B/keypoint, exactly what the reference shipped over ROS.
+      - "ici": cheap pose+covariance all_gather with ring-neighbor ICI
+        fusion only (no relative-pose estimation) — a low-rate fallback for
+        bandwidth-constrained meshes.
     """
     dspec = P(DRONE_AXIS)
     rep = P()
 
     def step(keys, images, Ks, dists, fb_x, fb_P, fb_steps, map_X, map_desc, map_valid):
         mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
-        bank, filtered, pwc = _per_drone_step(
-            keys, images, Ks, dists, fb_x, fb_P, fb_steps, mapdb, config
+        k_loc, k_inter = jax.random.split(keys[0])
+        bank, filtered, pwc, feats = _per_drone_step(
+            k_loc, images, Ks, dists, fb_x, fb_P, fb_steps, mapdb, config
         )
         pos = filtered.C
         cov = pwc.cov[3:6, 3:6] + 1e-5 * jnp.eye(3)
 
-        # --- inter-drone collective: gather everyone's estimate over ICI ---
-        all_pos = jax.lax.all_gather(pos, DRONE_AXIS)      # (D, 3)
-        all_cov = jax.lax.all_gather(cov, DRONE_AXIS)      # (D, 3, 3)
-        me = jax.lax.axis_index(DRONE_AXIS)
         n = jax.lax.axis_size(DRONE_AXIS)
-        other = (me + 1) % n
-        fused = covint.fuse(cov, all_cov[other], pos, all_pos[other])
+        if inter == "full":
+            # full interPoseEstimator over the mesh: descriptor-bank
+            # exchange + relative pose + temp reconstruction + scale
+            # alignment + pose-only refine + ICI (see _inter_exchange_step)
+            fused_pos, fused_cov, ok, _rel, _scale = _inter_exchange_step(
+                k_inter, feats, Ks[0], dists[0], filtered.R, pos, cov,
+                mapdb, config,
+            )
+        elif inter == "ici":
+            all_pos = jax.lax.all_gather(pos, DRONE_AXIS)      # (D, 3)
+            all_cov = jax.lax.all_gather(cov, DRONE_AXIS)      # (D, 3, 3)
+            me = jax.lax.axis_index(DRONE_AXIS)
+            other = (me + 1) % n
+            fused = covint.fuse(cov, all_cov[other], pos, all_pos[other])
+            fused_pos, fused_cov = fused.pos, fused.cov
+            ok = pwc.success
+        else:
+            raise ValueError(f"unknown inter mode {inter!r}")
 
         return (
             bank.x, bank.P, bank.steps,
             pos[None], cov[None],
-            fused.pos[None], fused.cov[None],
+            fused_pos[None], fused_cov[None], ok[None],
         )
 
     sharded = jax.shard_map(
@@ -111,7 +304,7 @@ def collaborative_step(
         mesh=mesh,
         in_specs=(dspec, dspec, dspec, dspec, dspec, dspec, dspec,
                   rep, rep, rep),
-        out_specs=(dspec, dspec, dspec, dspec, dspec, dspec, dspec),
+        out_specs=(dspec,) * 8,
         check_vma=False,
     )
 
@@ -122,12 +315,88 @@ def collaborative_step(
             mapdb.X, mapdb.desc, mapdb.valid,
         )
         fb2 = kalman.FilterBank(x=out[0], P=out[1], steps=out[2])
-        return fb2, out[3], out[4], out[5], out[6]
+        return fb2, out[3], out[4], out[5], out[6], out[7]
 
     return run
 
 
-def sharded_map_match(mesh: Mesh, opts):
+def collaborative_step_scan(mesh: Mesh, config: ColocConfig):
+    """Multi-frame multi-drone stepping as ONE mesh program: lax.scan F
+    frames through the per-drone intra step (KF bank carried on device),
+    then the FULL inter-drone exchange (descriptor ppermute + relative pose
+    + scale alignment + ICI, _inter_exchange_step) once at the chunk
+    boundary — the cadence session.run_chunked uses, now entirely on the
+    mesh. This is BASELINE config 5 (full multi-drone collaborative
+    session) as a single compiled collective program per chunk.
+
+    Returns a jitted fn:
+      (keys (F, D, 2), images (F, D, H, W), Ks (D, 3, 3), dists (D, 3),
+       fb: FilterBank (D, ...), mapdb (replicated))
+      -> (fb', positions (F, D, 3), covs (F, D, 3, 3), success (F, D),
+          fused_pos (D, 3), fused_cov (D, 3, 3), inter_ok (D,))
+    """
+    dspec1 = P(None, DRONE_AXIS)   # (F, D, ...) frame-major inputs
+    dspec = P(DRONE_AXIS)
+    rep = P()
+
+    def step(keys, images, Ks, dists, fb_x, fb_P, fb_steps,
+             map_X, map_desc, map_valid):
+        mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
+
+        def body(carry, inp):
+            fb_x, fb_P, fb_steps = carry
+            key, img = inp               # (1, 2), (1, H, W) — local shard
+            k_loc, k_inter = jax.random.split(key[0])
+            bank, filtered, pwc, feats = _per_drone_step(
+                k_loc, img, Ks, dists, fb_x, fb_P, fb_steps, mapdb, config
+            )
+            cov = pwc.cov[3:6, 3:6] + 1e-5 * jnp.eye(3)
+            return (
+                (bank.x, bank.P, bank.steps),
+                (filtered.C, cov, pwc.success, filtered.R, feats, k_inter),
+            )
+
+        carry, outs = jax.lax.scan(
+            body, (fb_x, fb_P, fb_steps), (keys, images)
+        )
+        pos_s, cov_s, ok_s, R_s, feats_s, kis = outs
+
+        # inter-drone event on the chunk's final frame
+        last = lambda a: jax.tree_util.tree_map(lambda x: x[-1], a)
+        fused_pos, fused_cov, iok, _rel, _scale = _inter_exchange_step(
+            kis[-1], last(feats_s), Ks[0], dists[0],
+            R_s[-1], pos_s[-1], cov_s[-1], mapdb, config,
+        )
+        return (
+            carry[0], carry[1], carry[2],
+            pos_s[:, None], cov_s[:, None], ok_s[:, None],
+            fused_pos[None], fused_cov[None], iok[None],
+        )
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(dspec1, dspec1, dspec, dspec, dspec, dspec, dspec,
+                  rep, rep, rep),
+        out_specs=(dspec, dspec, dspec, dspec1, dspec1, dspec1,
+                   dspec, dspec, dspec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(keys, images, Ks, dists, fb: kalman.FilterBank, mapdb: MapDB):
+        out = sharded(
+            keys, images, Ks, dists, fb.x, fb.P, fb.steps,
+            mapdb.X, mapdb.desc, mapdb.valid,
+        )
+        fb2 = kalman.FilterBank(x=out[0], P=out[1], steps=out[2])
+        return fb2, out[3], out[4], out[5], out[6], out[7], out[8]
+
+    return run
+
+
+def sharded_map_match(mesh: Mesh, opts, axis: str = DRONE_AXIS,
+                      query_axis: str = None):
     """2-NN matching against a MAP-SHARDED descriptor bank.
 
     SURVEY.md §5 (long-context analog): when the landmark bank outgrows one
@@ -137,15 +406,21 @@ def sharded_map_match(mesh: Mesh, opts):
     internally, via an all_gather over the map axis — O(devices * queries)
     bytes on ICI instead of moving any descriptors.
 
+    `axis`: mesh axis the bank is sharded over. The default reuses the
+    1-D drone axis (bank sharded across ALL devices, queries replicated).
+    To shard drones AND the map SIMULTANEOUSLY, build a 2-D Mesh (axes
+    ("drone", "map")) and pass axis="map", query_axis="drone": each drone
+    row holds one query shard, the bank splits over the map columns, and
+    the merge collective runs over the map axis only — per-drone results
+    come out drone-sharded. Tested on a (2, 4) virtual mesh.
+
     Returns a jitted fn:
-      (q_desc (Q,16) replicated, q_valid (Q,), shard_desc (L,16) sharded on
-       axis 0, shard_valid (L,)) -> (idx (Q,) GLOBAL landmark index, best,
-       second) with CUDAK2NN semantics.
+      (q_desc (Q,16) [replicated, or drone-sharded with query_axis],
+       q_valid (Q,), shard_desc (L,16) sharded on axis 0, shard_valid (L,))
+      -> Matches with GLOBAL landmark indices and CUDAK2NN semantics.
     """
     from coloc_tpu.matching import _accept
     from coloc_tpu.ops import hamming
-
-    axis = DRONE_AXIS  # reuse the mesh axis; semantically the "map" axis here
 
     def step(q_desc, q_valid, shard_desc, shard_valid):
         idx, best, second = hamming.hamming_2nn(
@@ -174,11 +449,12 @@ def sharded_map_match(mesh: Mesh, opts):
         )
         return g_idx, g_best, g_second
 
+    qspec = P(query_axis) if query_axis else P()
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(), P(DRONE_AXIS), P(DRONE_AXIS)),
-        out_specs=(P(), P(), P()),
+        in_specs=(qspec, qspec, P(axis), P(axis)),
+        out_specs=(qspec, qspec, qspec),
         check_vma=False,
     )
 

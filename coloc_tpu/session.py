@@ -36,6 +36,54 @@ from coloc_tpu.sfm import localize, reconstruct
 from coloc_tpu.types import Features, MapDB, Matches, Pose, PoseWithCov
 
 
+def _intra_all_device_step(cfg: ColocConfig, keys, images, mapdb: MapDB,
+                           bank, Ks, dists, fb: "kalman.FilterBank"):
+    """Device-side all-drones frame step (pure function shared by the
+    per-frame jit and the multi-frame lax.scan chain): batched detect ->
+    one resident-bank 2-NN over the concatenated queries -> vmapped
+    localization -> vmapped KF bank update.
+
+    keys (D, 2), images (D, H, W). Returns
+    (pwcs, fb', filtered, gate_dist, rej, eulers) with leading drone axes.
+    """
+    D = cfg.num_drones
+    kp = cfg.detector.max_keypoints
+    # batched frontend: all drones' rasters stack vertically so detection +
+    # description are ONE kernel per stage for the whole drone axis
+    # (frontend._detect_and_describe_trip_batch; no D-fold graph unroll)
+    from coloc_tpu.frontend import detect_and_describe_batch
+
+    feats = detect_and_describe_batch(images, cfg.detector)
+    # single resident-bank 2-NN call over all drones' queries
+    q = feats.desc.reshape(D * kp, -1)
+    qv = feats.valid.reshape(-1)
+    idx, best, second = matching.hamming.hamming_2nn_bank(q, qv, bank)
+    m_flat = matching._accept(
+        idx, best, second, qv, cfg.matcher, cfg.matcher.margin_threshold,
+    )
+    mm = Matches(
+        idx=m_flat.idx.reshape(D, kp),
+        best=m_flat.best.reshape(D, kp),
+        second=m_flat.second.reshape(D, kp),
+    )
+
+    def loc_one(key, f, m, K, dist):
+        cam = cam_ops.Camera(K=K, dist=dist)
+        pwc, _ = localize.localize_image(
+            key, f, m, mapdb, cam, cfg.ransac, cfg.refiner
+        )
+        return pwc
+
+    pwcs = jax.vmap(loc_one)(keys, feats, mm, Ks, dists)
+
+    zs = jax.vmap(kalman.fill_measurement)(pwcs.pose)
+    fb, filtered, dist_g, rej = kalman.update_all(
+        fb, zs, pwcs.cov[:, 3:6, 3:6], pwcs.rmse, pwcs.success, cfg.filter,
+    )
+    eulers = jax.vmap(so3.rot_to_euler)(pwcs.pose.R)
+    return pwcs, fb, filtered, dist_g, rej, eulers
+
+
 class ColocSession:
     """One collaborative-localization session over N drones (class ColoC)."""
 
@@ -247,64 +295,115 @@ class ColocSession:
             return self._fused_intra_all_fn
 
         cfg = self.config
-        D = cfg.num_drones
-        kp = cfg.detector.max_keypoints
 
         @jax.jit
         def step(keys, images, map_X, map_desc, map_valid, bank_st, bank_pen,
                  Ks, dists, fb_x, fb_P, fb_steps):
             mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
-            # static unrolled drone loop (not vmap): the Pallas detection
-            # kernels don't admit a batch axis on TPU; D copies in one graph
-            # still cost a single dispatch and pipeline on device
-            feats_list = [
-                detect_and_describe(images[d], cfg.detector) for d in range(D)
-            ]
-            feats = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *feats_list
-            )
-            # single resident-bank 2-NN call over all drones' queries
-            q = feats.desc.reshape(D * kp, -1)
-            qv = feats.valid.reshape(-1)
             bank = (bank_st, bank_pen, map_X.shape[0])
-            idx, best, second = matching.hamming.hamming_2nn_bank(q, qv, bank)
-            m_flat = matching._accept(
-                idx, best, second, qv, cfg.matcher,
-                cfg.matcher.margin_threshold,
-            )
-            mm = Matches(
-                idx=m_flat.idx.reshape(D, kp),
-                best=m_flat.best.reshape(D, kp),
-                second=m_flat.second.reshape(D, kp),
-            )
-
-            def loc_one(key, f, m, K, dist):
-                cam = cam_ops.Camera(K=K, dist=dist)
-                pwc, _ = localize.localize_image(
-                    key, f, m, mapdb, cam, cfg.ransac, cfg.refiner
-                )
-                return pwc
-
-            pwcs = jax.vmap(loc_one)(keys, feats, mm, Ks, dists)
-
             fb = kalman.FilterBank(x=fb_x, P=fb_P, steps=fb_steps)
-            zs = jax.vmap(kalman.fill_measurement)(pwcs.pose)
-            fb, filtered, dist_g, rej = kalman.update_all(
-                fb, zs, pwcs.cov[:, 3:6, 3:6], pwcs.rmse, pwcs.success,
-                cfg.filter,
+            return _intra_all_device_step(
+                cfg, keys, images, mapdb, bank, Ks, dists, fb
             )
-            eulers = jax.vmap(so3.rot_to_euler)(pwcs.pose.R)
-            return pwcs, fb, filtered, dist_g, rej, eulers
 
         self._fused_intra_all_fn = step
         return step
+
+    def _fused_intra_scan(self):
+        """Multi-frame DEVICE-RESIDENT stepping: lax.scan F frames through
+        the all-drones step with the KF bank as carry (frames pre-staged on
+        device). One dispatch per F-frame chunk instead of per frame — the
+        host-driven per-frame loop pays the full dispatch round-trip each
+        frame (~tens of ms through a remote-TPU tunnel), which dominates the
+        ~1.4 ms device graph; the reference's mainThread is likewise a
+        per-frame host loop (coloc.hpp:96-148), a shape TPU rewards
+        replacing (VERDICT r2 item 2)."""
+        if getattr(self, "_fused_intra_scan_fn", None) is not None:
+            return self._fused_intra_scan_fn
+
+        cfg = self.config
+
+        @jax.jit
+        def chain(keys, images, map_X, map_desc, map_valid, bank_st,
+                  bank_pen, Ks, dists, fb_x, fb_P, fb_steps):
+            mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
+            bank = (bank_st, bank_pen, map_X.shape[0])
+
+            def body(carry, inp):
+                fb = kalman.FilterBank(*carry)
+                k, imgs = inp
+                pwcs, fb2, filtered, dist_g, rej, eulers = (
+                    _intra_all_device_step(
+                        cfg, k, imgs, mapdb, bank, Ks, dists, fb
+                    )
+                )
+                return (
+                    (fb2.x, fb2.P, fb2.steps),
+                    (pwcs, fb2.P, filtered, dist_g, eulers),
+                )
+
+            carry, outs = jax.lax.scan(
+                body, (fb_x, fb_P, fb_steps), (keys, images)
+            )
+            return carry, outs
+
+        self._fused_intra_scan_fn = chain
+        return chain
+
+    def intra_pose_chunk(self, images) -> Dict[int, list]:
+        """Process an (F, D, H, W) chunk of frames in ONE device dispatch
+        (lax.scan over the fused all-drones step, KF bank carried on
+        device). Returns dict drone -> [PoseWithCov per frame]. Logging is
+        deferred exactly like intra_pose_all; self.frame advances by F."""
+        cfg = self.config
+        D = cfg.num_drones
+        images = jnp.asarray(images)
+        F = images.shape[0]
+        bank_st, bank_pen, _ = self._map_bank()
+        keys = jax.random.split(self._next_key(), F * D).reshape(F, D, -1)
+        with self.profiler.stage("intra_chunk"):
+            carry, outs = self._fused_intra_scan()(
+                keys, images,
+                self.mapdb.X, self.mapdb.desc, self.mapdb.valid,
+                bank_st, bank_pen, self.Ks, self.dists,
+                self.filter_bank.x, self.filter_bank.P,
+                self.filter_bank.steps,
+            )
+        self.filter_bank = kalman.FilterBank(*carry)
+        pwcs_s, fbP_s, filtered_s, dist_s, eulers_s = outs
+        if self.pose_log or self.filtered_log or self.gate_log:
+            for f in range(F):
+                self._pending_logs.append((
+                    self.frame + f,
+                    jax.tree_util.tree_map(lambda a: a[f], pwcs_s),
+                    fbP_s[f],
+                    jax.tree_util.tree_map(lambda a: a[f], filtered_s),
+                    dist_s[f], eulers_s[f],
+                ))
+        out = {d: [] for d in range(D)}
+        for f in range(F):
+            for d in range(D):
+                filt_d = Pose(R=filtered_s.R[f, d], C=filtered_s.C[f, d])
+                result = PoseWithCov(
+                    pose=filt_d, cov=pwcs_s.cov[f, d], rmse=pwcs_s.rmse[f, d],
+                    n_tracks=pwcs_s.n_tracks[f, d],
+                    success=pwcs_s.success[f, d],
+                )
+                out[d].append(result)
+                if f == F - 1:
+                    self.last_pose[d] = result
+        self.frame += F
+        return out
 
     def intra_pose_all(self, images) -> Dict[int, PoseWithCov]:
         """Per-frame localization for every drone in one dispatch.
 
         `images`: dict drone -> (H, W) array. Returns dict drone ->
         PoseWithCov (filtered pose, covariance, rmse, success). Logging and
-        viz match intra_pose's per-drone behavior."""
+        viz match intra_pose's per-drone behavior, EXCEPT that CSV entries
+        are queued (see below) — callers driving intra_pose_all directly
+        (outside run(), which flushes for you) must call flush_logs() or
+        close() before reading the log files."""
         cfg = self.config
         D = cfg.num_drones
         bank_st, bank_pen, _ = self._map_bank()
@@ -343,6 +442,18 @@ class ColocSession:
                 )
             out[d] = result
         return out
+
+    def close(self):
+        """Flush any queued log entries. Safe to call repeatedly; sessions
+        used as context managers flush on exit."""
+        self.flush_logs()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def flush_logs(self):
         """Write queued per-frame log entries (see intra_pose_all)."""
@@ -416,17 +527,72 @@ class ColocSession:
         return result
 
     # ------------------------------------------------------------ inter pose
+    def inter_pose_round(
+        self, images: Dict[int, np.ndarray], policy: str = "auto"
+    ) -> Dict[int, Optional[covint.FusionResult]]:
+        """One inter-drone fusion round over all drones (pair policy).
+
+        The reference hardcodes interPoseEstimator(0, 1) for its 2-drone demo
+        (coloc.hpp:141); this generalizes the schedule:
+          - policy="auto": D==2 -> the reference's single (0, 1) fusion;
+            D>2 -> "ring".
+          - policy="ring": every drone d is fused with partner (d-1) mod D —
+            each drone is a fusion destination exactly once per round.
+          - policy="best": every drone is fused with the OTHER drone whose
+            current intra position covariance has the smallest trace (the
+            best-informed partner), skipping itself.
+        Features are detected once per drone and shared across the round's
+        pairs. Returns {dst: FusionResult-or-None}.
+        """
+        cfg = self.config
+        D = cfg.num_drones
+        if D < 2:
+            return {}
+        if policy == "auto":
+            policy = "reference" if D == 2 else "ring"
+        feats = {d: self.detect(images[d]) for d in range(D)}
+        if policy == "reference":
+            pairs = [(0, 1)]
+        elif policy == "ring":
+            pairs = [((d - 1) % D, d) for d in range(D)]
+        elif policy == "best":
+            traces = {
+                d: float(jnp.trace(self.last_pose[d].cov[3:6, 3:6]))
+                if d in self.last_pose else float("inf")
+                for d in range(D)
+            }
+            pairs = []
+            for dst in range(D):
+                src = min(
+                    (d for d in range(D) if d != dst),
+                    key=lambda d: traces[d],
+                )
+                pairs.append((src, dst))
+        else:
+            raise ValueError(f"unknown inter-pose policy {policy!r}")
+        out: Dict[int, Optional[covint.FusionResult]] = {}
+        for src, dst in pairs:
+            out[dst] = self.inter_pose(src, dst, images, feats=feats)
+        return out
+
     def inter_pose(
-        self, src: int, dst: int, images: Dict[int, np.ndarray]
+        self, src: int, dst: int, images: Dict[int, np.ndarray],
+        feats: Optional[Dict[int, Features]] = None,
+        key: Optional[jax.Array] = None,
     ) -> Optional[covint.FusionResult]:
         """Inter-drone relative localization + ICI fusion
-        (interPoseEstimator, coloc.hpp:274-392)."""
+        (interPoseEstimator, coloc.hpp:274-392). `feats`: optional detected-
+        feature cache (inter_pose_round shares one detection per drone
+        across the round's pairs). `key`: optional explicit RANSAC key (the
+        mesh-parity tests drive host and sharded paths with one key)."""
         cfg = self.config
-        f_src = self.detect(images[src])
-        f_dst = self.detect(images[dst])
+        feats = feats or {}
+        f_src = feats[src] if src in feats else self.detect(images[src])
+        f_dst = feats[dst] if dst in feats else self.detect(images[dst])
         m = matching.match_pair(f_src, f_dst, cfg.matcher)
         geo = self._relative_pose(
-            self._next_key(), f_src.xy, f_dst.xy[m.idx], m.mask,
+            key if key is not None else self._next_key(),
+            f_src.xy, f_dst.xy[m.idx], m.mask,
             self.cams[src], self.cams[dst],
         )
         if not bool(geo.success):
@@ -555,34 +721,101 @@ class ColocSession:
             return out
 
         consecutive_failures = 0
-        for frame_idx in range(f, num_frames):
-            self.frame = frame_idx
-            res_all = self.intra_pose_all(
-                {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
-            )
-            results = [res_all[d] for d in range(cfg.num_drones)]
-            for d in range(cfg.num_drones):
-                out[d].append(res_all[d])
-            if inter_every and frame_idx % inter_every == 0 and cfg.num_drones >= 2:
-                self.inter_pose(0, 1, {d: frames[d][frame_idx] for d in range(cfg.num_drones)})
-            trigger = update_map_every and frame_idx % update_map_every == 0
-            if auto_update_map:
-                # note: reading success forces a host sync — only done when
-                # the auto-recovery feature is enabled
-                if not any(bool(r.success) for r in results):
-                    consecutive_failures += 1
-                else:
-                    consecutive_failures = 0
-                if consecutive_failures >= auto_update_patience:
-                    trigger = True
-                    consecutive_failures = 0
-            if trigger:
-                self.update_map(
+        # finally-flush: a crash mid-run must not lose the <=64 queued frames
+        # of deferred CSV entries (the reference wrote synchronously)
+        try:
+            for frame_idx in range(f, num_frames):
+                self.frame = frame_idx
+                res_all = self.intra_pose_all(
                     {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
                 )
-            # periodic flush bounds queued device pytrees without breaking
-            # steady-state pipelining (64 frames of pose/cov tuples ~ KBs)
-            if len(self._pending_logs) >= 64:
-                self.flush_logs()
-        self.flush_logs()
+                results = [res_all[d] for d in range(cfg.num_drones)]
+                for d in range(cfg.num_drones):
+                    out[d].append(res_all[d])
+                if inter_every and frame_idx % inter_every == 0 and cfg.num_drones >= 2:
+                    self.inter_pose_round(
+                        {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
+                    )
+                trigger = update_map_every and frame_idx % update_map_every == 0
+                if auto_update_map:
+                    # note: reading success forces a host sync — only done when
+                    # the auto-recovery feature is enabled
+                    if not any(bool(r.success) for r in results):
+                        consecutive_failures += 1
+                    else:
+                        consecutive_failures = 0
+                    if consecutive_failures >= auto_update_patience:
+                        trigger = True
+                        consecutive_failures = 0
+                if trigger:
+                    self.update_map(
+                        {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
+                    )
+                # periodic flush bounds queued device pytrees without breaking
+                # steady-state pipelining (64 frames of pose/cov tuples ~ KBs)
+                if len(self._pending_logs) >= 64:
+                    self.flush_logs()
+        finally:
+            self.flush_logs()
+        return out
+
+    def run_chunked(
+        self,
+        frames: Dict[int, list],
+        chunk: int = 16,
+        inter_every: int = 0,
+    ) -> Dict[int, list]:
+        """mainThread with DEVICE-RESIDENT stepping: frames are staged in
+        (chunk, D, H, W) blocks and each block runs as one lax.scan dispatch
+        (intra_pose_chunk). Inter-drone fusion rounds run at chunk
+        boundaries — `inter_every` is rounded UP to a whole number of chunks
+        (a documented deviation from run()'s exact per-frame schedule; the
+        reference's inter cadence is a soft rate, coloc.hpp:141). The last
+        partial chunk falls back to per-frame stepping so no frame is
+        dropped."""
+        cfg = self.config
+        D = cfg.num_drones
+        num_frames = min(len(v) for v in frames.values())
+        out = {d: [] for d in range(D)}
+
+        f = 0
+        while not self.map_ready and f < num_frames:
+            self.init_map({d: frames[d][f] for d in range(D)})
+            f += 1
+        if not self.map_ready:
+            return out
+
+        inter_chunks = max(1, -(-inter_every // chunk)) if inter_every else 0
+        chunks_done = 0
+        try:
+            while f < num_frames:
+                n = min(chunk, num_frames - f)
+                if n == chunk:
+                    block = np.stack(
+                        [[np.asarray(frames[d][f + i]) for d in range(D)]
+                         for i in range(n)]
+                    )
+                    self.frame = f
+                    res = self.intra_pose_chunk(block)
+                else:
+                    res = {d: [] for d in range(D)}
+                    for i in range(n):
+                        self.frame = f + i
+                        r = self.intra_pose_all(
+                            {d: frames[d][f + i] for d in range(D)}
+                        )
+                        for d in range(D):
+                            res[d].append(r[d])
+                for d in range(D):
+                    out[d].extend(res[d])
+                f += n
+                chunks_done += 1
+                if inter_chunks and chunks_done % inter_chunks == 0 and D >= 2:
+                    self.inter_pose_round(
+                        {d: frames[d][f - 1] for d in range(D)}
+                    )
+                if len(self._pending_logs) >= 64:
+                    self.flush_logs()
+        finally:
+            self.flush_logs()
         return out
