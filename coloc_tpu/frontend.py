@@ -59,34 +59,61 @@ def detect_and_describe(image: jnp.ndarray, opts: DetectorOptions) -> Features:
 
 @functools.lru_cache(maxsize=32)
 def _detection_mask(row_base, heights, widths, wp, total_rows,
-                    border, scale_factor):
-    """Static (R, WP) keep mask: per-level borders (reference keep-out border
-    scaled per level with the _MIN_BORDER floor) double as the guard against
-    cross-level ring contamination in the stacked FAST pass."""
+                    border, scale_factor, batch=1):
+    """Static (batch * R, WP) keep mask: per-level borders (reference
+    keep-out border scaled per level with the _MIN_BORDER floor) double as
+    the guard against cross-level — and, in the batched raster, cross-image
+    — ring contamination in the stacked FAST pass."""
     mask = np.zeros((total_rows, wp), np.float32)
     for l, (rb, h, w) in enumerate(zip(row_base, heights, widths)):
         b = max(_MIN_BORDER, int(round(border / scale_factor ** l)))
         if h > 2 * b and w > 2 * b:
             mask[rb + b : rb + h - b, b : w - b] = 1.0
-    return mask
+    return np.tile(mask, (batch, 1)) if batch > 1 else mask
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
 def _detect_and_describe_trip(image: jnp.ndarray, opts: DetectorOptions) -> Features:
-    image = image.astype(jnp.float32)
+    return jax.tree_util.tree_map(
+        lambda a: a[0], _detect_and_describe_trip_batch(image[None], opts)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _detect_and_describe_trip_batch(
+    images: jnp.ndarray, opts: DetectorOptions
+) -> Features:
+    """(B, H, W) -> Features with leading batch axis, ONE kernel per stage.
+
+    The batch rides the same trick as the pyramid levels: per-image stacked
+    rasters concatenate VERTICALLY into one (B * R, WP) buffer
+    (ops/patches.stack_levels_batch), so the fused Pallas FAST+NMS pass and
+    the per-keypoint patch-DMA kernel each launch once for the whole batch
+    — the graph no longer contains B unrolled frontend copies (a D-drone
+    session step or an F-frame scan body is one detector instance). The
+    per-image top-k is approx_max_k's native batch axis.
+    """
+    images = images.astype(jnp.float32)
+    B = images.shape[0]
     k = opts.max_keypoints
 
-    levels = pyr_ops.build_pyramid(image, opts.num_levels, opts.scale_factor)
-    smoothed = [pyr_ops.box_blur(lvl, opts.smoothing_radius) for lvl in levels]
+    levels = pyr_ops.build_pyramid_batch(
+        images, opts.num_levels, opts.scale_factor
+    )
+    smoothed = [
+        jax.vmap(lambda im: pyr_ops.box_blur(im, opts.smoothing_radius))(lvl)
+        for lvl in levels
+    ]
 
-    sp_raw = patch_ops.stack_levels(levels)
-    sp_sm = patch_ops.stack_levels(smoothed)
+    sp_raw = patch_ops.stack_levels_batch(levels)
+    sp_sm = patch_ops.stack_levels_batch(smoothed)
     wp = sp_raw.wp
+    R = sp_raw.img_rows
     rb = jnp.asarray(sp_raw.row_base)
     heights = jnp.asarray(sp_raw.heights)
     widths = jnp.asarray(sp_raw.widths)
 
-    # --- detection: FAST + NMS over the stacked raster, one global top-k ----
+    # --- detection: FAST + NMS over the batched raster, per-image top-k ----
     if use_pallas():
         raw, nms = fast_ops.fast_nms_pallas(sp_raw.stacked, opts.fast_threshold)
     else:
@@ -96,33 +123,45 @@ def _detect_and_describe_trip(image: jnp.ndarray, opts: DetectorOptions) -> Feat
         tuple(int(r) for r in sp_raw.row_base),
         tuple(int(h) for h in sp_raw.heights),
         tuple(int(w) for w in sp_raw.widths),
-        wp, sp_raw.stacked.shape[0], opts.border, opts.scale_factor,
+        wp, R, opts.border, opts.scale_factor, batch=B,
     )
     nms = nms * jnp.asarray(mask)
 
-    flat = nms.reshape(-1)
-    if flat.shape[0] <= 2 * k:
+    flat = nms.reshape(B, R * wp)
+    if R * wp <= 2 * k:
         top_s, top_i = jax.lax.top_k(flat, k)
     else:
+        # approx_max_k (recall ~0.95, ~10x cheaper than the exact top_k sort
+        # network at stacked-raster sizes): a few percent of the WEAKEST
+        # selected peaks may swap for near-threshold neighbors relative to
+        # the reference's exact retention — a deliberate deviation; peaks are
+        # unordered NMS survivors, not ranked output (see
+        # ops/fast.topk_keypoints for the same trade and an exact=True knob).
         top_s, top_i = jax.lax.approx_max_k(flat, k)
+    # flatten the (B, k) keypoint grid; all per-keypoint stages below are
+    # batch-agnostic given raster-global rows
+    boff = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * R, k)   # (B*k,)
+    top_s = top_s.reshape(B * k)
+    top_i = top_i.reshape(B * k)
     valid = top_s > 0
-    row = top_i // wp
+    row_img = top_i // wp            # within-image stacked row
     col = top_i % wp
 
     # level id from the stacked row (static level boundaries)
-    kp_l = jnp.sum(row[:, None] >= rb[None, 1:], axis=1).astype(jnp.int32)
+    kp_l = jnp.sum(row_img[:, None] >= rb[None, 1:], axis=1).astype(jnp.int32)
 
-    # subpixel refinement on the stacked raw score map
-    sx, sy = fast_ops.subpixel_refine(raw, col.astype(jnp.float32),
-                                      row.astype(jnp.float32))
+    # subpixel refinement on the raster-global raw score map
+    sx, sy = fast_ops.subpixel_refine(
+        raw, col.astype(jnp.float32), (row_img + boff).astype(jnp.float32)
+    )
     kp_x = sx
-    kp_y = sy - rb[kp_l].astype(jnp.float32)
+    kp_y = sy - (rb[kp_l] + boff).astype(jnp.float32)   # level-local y
 
     # --- per-keypoint patches from the smoothed stack ------------------------
     w_l = widths[kp_l].astype(jnp.float32)
     h_l = heights[kp_l].astype(jnp.float32)
     row0, col0 = patch_ops.patch_origins(sp_sm, kp_x, kp_y, kp_l)
-    P = patch_ops.extract_patches(sp_sm.stacked, row0, col0)
+    P = patch_ops.extract_patches(sp_sm.stacked, row0 + boff, col0)
     row0_local = row0 - rb[kp_l]
 
     # --- orientation: 7x7 weighted intensity centroid ------------------------
@@ -140,7 +179,7 @@ def _detect_and_describe_trip(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     xy = jnp.stack([kp_x * scale, kp_y * scale], axis=-1)
 
     zero = jnp.zeros_like(top_s)
-    return Features(
+    feats = Features(
         xy=jnp.where(valid[:, None], xy, 0.0),
         score=jnp.where(valid, top_s, zero),
         scale=jnp.where(valid, kp_l, 0),
@@ -148,11 +187,22 @@ def _detect_and_describe_trip(image: jnp.ndarray, opts: DetectorOptions) -> Feat
         desc=desc,
         valid=valid,
     )
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((B, k) + a.shape[1:]), feats
+    )
 
 
 def detect_and_describe_batch(images: jnp.ndarray, opts: DetectorOptions) -> Features:
-    """(B, H, W) -> Features with leading batch axis. Statically unrolled —
-    the Pallas kernels inside don't admit a vmap batch axis on TPU; B copies
-    in one jit graph still dispatch once and pipeline on device."""
-    feats = [detect_and_describe(images[i], opts) for i in range(images.shape[0])]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *feats)
+    """(B, H, W) -> Features with leading batch axis.
+
+    TRIP backend: one kernel per stage for the whole batch (the per-image
+    rasters stack vertically — see _detect_and_describe_trip_batch). AKAZE
+    backend: statically unrolled per image (its FED diffusion pipeline is
+    per-image XLA; unrolled copies still dispatch once)."""
+    if opts.backend == "akaze":
+        feats = [
+            detect_and_describe(images[i], opts)
+            for i in range(images.shape[0])
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *feats)
+    return _detect_and_describe_trip_batch(images, opts)

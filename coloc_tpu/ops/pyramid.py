@@ -82,6 +82,23 @@ def build_pyramid(
     return levels
 
 
+def build_pyramid_batch(
+    images: jnp.ndarray, num_levels: int, scale_factor: float
+) -> List[jnp.ndarray]:
+    """(B, H, W) -> list of (B, H_l, W_l): build_pyramid with a batch axis
+    (the resize matmuls batch trivially under vmap)."""
+    _, h, w = images.shape
+    shapes = level_shapes(h, w, num_levels, scale_factor)
+    levels = [images]
+    for l in range(1, num_levels):
+        levels.append(
+            jax.vmap(lambda im, s=shapes[l]: resize_bilinear(im, s))(
+                levels[-1]
+            )
+        )
+    return levels
+
+
 def box_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Separable box blur (descriptor pre-smoothing; replaces the implicit
     smoothing that patch-SSD comparisons give CLATCH). Edge-replicated."""

@@ -108,3 +108,46 @@ class TestPipeline:
         from coloc_tpu.frontend import detect_and_describe_batch
         fb = detect_and_describe_batch(imgs, self.OPTS)
         assert fb.xy.shape == (2, 256, 2)
+
+    def test_batch_equals_single(self, rng):
+        """The batched frontend (one vertically-stacked raster, one kernel
+        per stage — VERDICT r2 item 6) must reproduce the single-image path
+        per entry: the per-level keep-out borders make batch-boundary
+        contamination impossible, so results are identical."""
+        from coloc_tpu.frontend import detect_and_describe_batch
+
+        imgs = jnp.asarray(np.stack(
+            [blob_image(rng), blob_image(rng), blob_image(rng)]
+        ))
+        fb = detect_and_describe_batch(imgs, self.OPTS)
+        for i in range(3):
+            f1 = detect_and_describe(imgs[i], self.OPTS)
+            np.testing.assert_array_equal(
+                np.asarray(fb.valid[i]), np.asarray(f1.valid)
+            )
+            v = np.asarray(f1.valid)
+            # subpixel offsets are computed at raster-global row magnitude
+            # in the batched path (row + b*R), so f32 rounding differs by
+            # ~1e-4 px between batch positions — immaterial
+            np.testing.assert_allclose(
+                np.asarray(fb.xy[i])[v], np.asarray(f1.xy)[v], atol=2e-3
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fb.desc[i])[v], np.asarray(f1.desc)[v]
+            )
+
+    def test_fast_nms_pallas_interpret_matches_xla(self, rng):
+        """Fused Pallas FAST+NMS kernel (interpret mode) against the XLA
+        reference path, on a batch-stacked-raster-sized input."""
+        from coloc_tpu.ops import fast as fast_ops
+
+        img = jnp.asarray(rng.uniform(0, 255, (192, 256)), jnp.float32)
+        raw_p, nms_p = fast_ops.fast_nms_pallas(img, 20.0, interpret=True)
+        raw_x = fast_ops.fast_score_map(img, 20.0)
+        nms_x = fast_ops.nms3(raw_x)
+        np.testing.assert_allclose(
+            np.asarray(raw_p), np.asarray(raw_x), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(nms_p), np.asarray(nms_x), atol=1e-4
+        )
