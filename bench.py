@@ -178,6 +178,10 @@ def main():
 
     if not small and os.environ.get("COLOC_BENCH_CAPACITY", "1") == "1":
         _bench_capacity(cam, img, iters)
+    if not small and os.environ.get("COLOC_BENCH_AKAZE", "1") == "1":
+        _bench_akaze(scene, img, iters)
+    if not small and os.environ.get("COLOC_BENCH_SESSION", "1") == "1":
+        _bench_chained_session(config, cam, iters)
     if os.environ.get("COLOC_BENCH_CONFIGS", "0") == "1":
         _bench_baseline_configs(config, cam, mapdb, img, feats0, iters)
     if os.environ.get("COLOC_BENCH_ACCURACY", "0") == "1":
@@ -278,6 +282,125 @@ def _bench_capacity(cam, img, iters):
         f"match+localize={dt * 1e3:.2f}ms ({1 / dt:.1f} ops/s); "
         f"k2nn kernel {gcmp:.0f} G cmp/s "
         f"(CUDAK2NN GTX1080: 63 G cmp/s)",
+        file=sys.stderr,
+    )
+
+
+def _bench_chained_session(config, cam, iters):
+    """BASELINE config 5 as a DEVICE-RESIDENT number: a real 2-drone session
+    (bootstrap map from rendered frames, then the steady-state loop) stepped
+    in lax.scan chunks with the KF bank carried on device
+    (session.intra_pose_chunk). One dispatch per F-frame chunk, so the
+    remote-tunnel RTT amortizes to RTT/(F*D) per op and the printed rate is
+    the actual end-to-end system rate (VERDICT r2 item 2). Stderr only."""
+    import sys
+    import time
+
+    import jax
+    import numpy as np
+
+    from coloc_tpu.io import synthetic
+    from coloc_tpu.session import ColocSession
+
+    h = int(2 * float(cam.cy))
+    w = int(2 * float(cam.cx))
+    Kmat = np.asarray(cam.K)
+    scn = synthetic.make_scene(h, w, Kmat, seed=2)
+    frames = {}
+    for d in range(2):
+        Rs, Cs = synthetic.trajectory(4, d)
+        frames[d] = [synthetic.render(scn, Rs[f], Cs[f]) for f in range(4)]
+    sess = ColocSession(config, np.stack([Kmat] * 2),
+                        np.zeros((2, 3), np.float32))
+    if not sess.init_map({0: frames[0][0], 1: frames[1][0]}):
+        print("# config[5b chained session]: bootstrap failed", file=sys.stderr)
+        return
+    F = 16
+    block = np.stack(
+        [[frames[d][1 + (i % 3)] for d in range(2)] for i in range(F)]
+    )
+    sess.frame = 1
+    sess.intra_pose_chunk(block)  # compile + warm
+    reps = max(2, iters // (F * 2))
+    n_ops = 0
+    t0 = time.time()
+    for _ in range(reps):
+        sess.intra_pose_chunk(block)
+        n_ops += F * 2
+    jax.block_until_ready(sess.filter_bank.x)
+    dt = (time.time() - t0) / n_ops
+    n_ok = sum(
+        int(bool(p.success)) for p in sess.last_pose.values()
+    )
+    print(
+        f"# config[5b chained session, lax.scan x{F} frames, device-resident"
+        f" KF carry]: {dt * 1e3:.2f} ms/op = {1 / dt:.1f} ops/s "
+        f"({reps} chunks; {n_ok}/2 drones localized on the final frame)",
+        file=sys.stderr,
+    )
+
+
+def _bench_akaze(scene, img, iters):
+    """AKAZE-MLDB parity backend at the reference's CPU-default preset
+    (752x480 frame, maxkp=5000, CPUDetector.hpp:35-46 / coloc_node.cpp:78):
+    detect+describe latency plus a downstream two-view match count, so the
+    reference's default detector has a measured line (VERDICT r2 item 4).
+    Stderr only."""
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from coloc_tpu.config import ColocConfig, DetectorOptions, MatcherOptions
+    from coloc_tpu.frontend import detect_and_describe
+    from coloc_tpu.io import synthetic
+    from coloc_tpu.matching import match_pair
+
+    h, w = img.shape
+    kp = 5000
+    config = ColocConfig(
+        detector=DetectorOptions(
+            width=w, height=h, max_keypoints=kp, num_levels=8,
+            backend="akaze",
+        ),
+        # AKAZE path = reference CPU path = Lowe-ratio matching (OpenMVG
+        # DistanceRatioMatch 0.8, CPUMatcher.hpp:58-59)
+        matcher=MatcherOptions(mode="ratio"),
+    )
+    jimg = jnp.asarray(img)
+    it = max(4, min(iters, 100))  # AKAZE's FED pipeline is ~10x the TRIP
+    # frontend; 100 chained iterations keep this section under ~30 s
+
+    @jax.jit
+    def loop(x):
+        def body(i, c):
+            f = detect_and_describe(c, config.detector)
+            return jimg + f.score.sum() * 1e-12
+        return jax.lax.fori_loop(0, it, body, x)
+
+    jax.block_until_ready(loop(jimg))
+    t0 = time.time()
+    jax.block_until_ready(loop(jimg))
+    dt = (time.time() - t0) / it
+
+    # downstream health at capacity: second rendered view, pairwise ratio
+    # match + count (exercises the grid-based cross-scale suppression at
+    # reference capacity — see coloc_tpu/akaze.py)
+    from coloc_tpu.geometry import so3 as _so3
+
+    R2 = np.asarray(_so3.exp(jnp.asarray([0.01, -0.05, 0.0], jnp.float32)))
+    C2 = np.array([0.4, 0.05, 0.0], np.float32)
+    img2 = jnp.asarray(synthetic.render(scene, R2, C2))
+    fa = detect_and_describe(jimg, config.detector)
+    fb = detect_and_describe(img2, config.detector)
+    m = match_pair(fa, fb, config.matcher)
+    n_kp = int(jnp.sum(fa.valid))
+    n_match = int(jnp.sum(m.idx >= 0))
+    print(
+        f"# akaze kp={kp} {w}x{h}: detect+describe={dt * 1e3:.2f}ms "
+        f"({1 / dt:.1f} fps); detected={n_kp} "
+        f"pair-matches={n_match}",
         file=sys.stderr,
     )
 
@@ -440,9 +563,13 @@ def _bench_baseline_configs(config, cam, mapdb, img, feats0, iters):
         dt5 = (time.time() - t0) / n_ops
         print(
             f"# config[5 full session intra step]: {dt5 * 1e3:.2f} ms/op = "
-            f"{1 / dt5:.1f} ops/s (host-orchestrated, batched drone axis)",
+            f"{1 / dt5:.1f} ops/s (host-orchestrated, batched drone axis; "
+            f"includes per-frame dispatch RTT)",
             file=sys.stderr,
         )
+
+        # 5b (device-resident chained stepping) runs in the DEFAULT bench
+        # sections — see _bench_chained_session
 
 
 if __name__ == "__main__":

@@ -41,7 +41,6 @@ from coloc_tpu.ops import pyramid as pyr_ops
 from coloc_tpu.types import Features
 
 _DETECT_BORDER = 10
-_DEDUP_CAP = 1024  # cross-scale suppression candidate cap (see below)
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -69,30 +68,54 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
         ls.append(jnp.full_like(x, li, dtype=jnp.int32))
         sig.append(jnp.full_like(x, ev.sigma / (2.0 ** ev.octave)))
     # --- cross-scale extrema suppression (adjacent evolution levels) -------
-    # base-resolution coords + sigma per level candidate set. The pairwise
-    # distance matrices are O(n^2) in the per-level candidate count, so the
-    # comparison is capped at the strongest _DEDUP_CAP candidates per level
-    # (top-k output is score-sorted); duplicates among weaker tails are left
-    # to the global top-k, bounding the worst case at reference capacity
-    # (kp=5000 would otherwise build 15x 5000x5000 matrices per frame).
-    cap = min(k, _DEDUP_CAP)
+    # base-resolution coords per level candidate set. Pairwise distance
+    # matrices would be O(k^2) per level pair (kp=5000 -> 15x 5000x5000
+    # matrices per frame), so suppression runs on a GRID: each level's
+    # candidate scores scatter-max into base-resolution cells of size r
+    # (the suppression radius), and a candidate is suppressed iff the 3x3
+    # cell neighborhood of the ADJACENT level holds a stronger score. The
+    # 3x3-of-r window covers every true neighbor within r (no missed
+    # duplicates at ANY capacity); it can also reach up to ~2.8r, a mild,
+    # deliberate over-suppression — acceptable for dedup hygiene, and the
+    # weaker of two corners that close is redundant anyway.
+    H0, W0 = levels[0].L.shape
     oct_of = [ev.octave for ev in levels]
-    bx = [x[:cap] * (2.0 ** oct_of[li]) for li, x in enumerate(xs)]
-    by = [y[:cap] * (2.0 ** oct_of[li]) for li, y in enumerate(ys)]
+    bx = [x * (2.0 ** oct_of[li]) for li, x in enumerate(xs)]
+    by = [y * (2.0 ** oct_of[li]) for li, y in enumerate(ys)]
     bsig = [levels[li].sigma for li in range(len(levels))]
     for li in range(len(levels) - 1):
-        r = max(bsig[li], bsig[li + 1])
-        d2 = (
-            (bx[li][:, None] - bx[li + 1][None, :]) ** 2
-            + (by[li][:, None] - by[li + 1][None, :]) ** 2
-        )
-        close = d2 < r * r
-        s_a, s_b = ss[li][:cap], ss[li + 1][:cap]
+        r = float(max(bsig[li], bsig[li + 1]))
+        gy = int(H0 / r) + 3
+        gx = int(W0 / r) + 3
+
+        def cells(lvl):
+            ci = jnp.clip((bx[lvl] / r).astype(jnp.int32) + 1, 0, gx - 1)
+            ri = jnp.clip((by[lvl] / r).astype(jnp.int32) + 1, 0, gy - 1)
+            return ri, ci
+
+        def paint(lvl, ri, ci):
+            return jnp.zeros((gy, gx)).at[ri, ci].max(ss[lvl])
+
+        def neigh_max(grid, ri, ci):
+            m = jnp.float32(0.0)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    m = jnp.maximum(
+                        m,
+                        grid[jnp.clip(ri + dy, 0, gy - 1),
+                             jnp.clip(ci + dx, 0, gx - 1)],
+                    )
+            return m
+        ra, ca = cells(li)
+        rb, cb = cells(li + 1)
+        grid_a = paint(li, ra, ca)
+        grid_b = paint(li + 1, rb, cb)
+        s_a, s_b = ss[li], ss[li + 1]
         # suppress the weaker of a close pair; ties suppress the coarser level
-        sup_a = jnp.any(close & (s_b[None, :] > s_a[:, None]), axis=1)
-        sup_b = jnp.any(close & (s_a[:, None] >= s_b[None, :]), axis=0)
-        ss[li] = ss[li].at[:cap].set(jnp.where(sup_a, 0.0, s_a))
-        ss[li + 1] = ss[li + 1].at[:cap].set(jnp.where(sup_b, 0.0, s_b))
+        sup_a = neigh_max(grid_b, ra, ca) > s_a
+        sup_b = neigh_max(grid_a, rb, cb) >= s_b
+        ss[li] = jnp.where(sup_a, 0.0, s_a)
+        ss[li + 1] = jnp.where(sup_b, 0.0, s_b)
 
     cx = jnp.concatenate(xs)
     cy = jnp.concatenate(ys)

@@ -5,9 +5,13 @@ Usage:
       --frames 50 --out runs/session1
   python -m coloc_tpu.cli --synthetic --frames 20 --out runs/demo
 
-Mirrors coloc_node.cpp: reads calib.txt, builds the session with the
-reference's default options (maxkp, 1.2x8 pyramid, FAST 40, ratio 0.8,
-margin 60, model 'E'), and runs the main loop over the image folder.
+Mirrors coloc_node.cpp: reads calib.txt, builds the session, and runs the
+main loop over the image folder. Option defaults follow the reference
+(coloc_node.cpp:73-89: 1.2x 8-level pyramid, FAST threshold 40, Lowe ratio
+0.8, Hamming margin 60, model 'E') EXCEPT --maxkp, which defaults to 1024
+rather than the reference's 5000 — a TPU-friendly capacity that keeps the
+fixed-shape banks small; pass --maxkp 5000 for reference-capacity parity
+(throughput at that setting is covered by bench.py's capacity section).
 """
 
 from __future__ import annotations
@@ -53,12 +57,13 @@ def main(argv=None):
     from coloc_tpu.session import ColocSession
 
     euroc_frames = None
+    euroc_stamps = None
     if args.euroc:
         from coloc_tpu.io import euroc as euroc_io
 
         args.drones = len(args.euroc)
-        euroc_frames, Ks, dists, size = euroc_io.load_dataset(
-            args.euroc, num_frames=args.frames)
+        euroc_frames, Ks, dists, size, euroc_stamps = euroc_io.load_dataset(
+            args.euroc, num_frames=args.frames, with_timestamps=True)
         print(f"loaded {args.drones} EuRoC sequences, "
               f"{len(euroc_frames[0])} frames each")
     elif args.synthetic:
@@ -131,6 +136,41 @@ def main(argv=None):
         f"({n_done / max(dt, 1e-9):.1f} fps), "
         f"{n_ok}/{n_done} localized; logs in {args.out}/"
     )
+
+    # trajectory accuracy vs EuRoC ground truth where available (the
+    # BASELINE "within 1%" check becomes runnable the moment a real ASL
+    # sequence with state_groundtruth_estimate0 is passed via --euroc)
+    if args.euroc and euroc_stamps is not None:
+        from coloc_tpu import metrics
+        from coloc_tpu.io import euroc as euroc_io
+
+        for d, root in enumerate(args.euroc):
+            gt = euroc_io.load_groundtruth(root)
+            if gt is None:
+                print(f"drone {d}: no ground truth in {root} "
+                      "(state_groundtruth_estimate0 absent) — ATE skipped")
+                continue
+            traj = results.get(d, [])
+            ok_idx = [i for i, p in enumerate(traj) if bool(p.success)]
+            if len(ok_idx) < 3:
+                print(f"drone {d}: too few localized frames for ATE")
+                continue
+            est = np.stack([np.asarray(traj[i].pose.C) for i in ok_idx])
+            # results[d][i] corresponds to frame index i + (frames consumed
+            # by bootstrap); session.frame tracked the last processed index
+            offset = len(euroc_stamps[d]) - len(traj)
+            st = [euroc_stamps[d][i + offset] for i in ok_idx]
+            gt_pos = euroc_io.groundtruth_at(gt[0], gt[1], st)
+            ate, _ = metrics.ate_rmse(est, gt_pos, with_scale=True)
+            rpe = (metrics.rpe_translation(est, gt_pos)[0]
+                   if len(ok_idx) >= 4 else float("nan"))
+            span = float(np.linalg.norm(gt_pos.max(0) - gt_pos.min(0)))
+            print(
+                f"drone {d}: ATE={ate * 100:.2f} cm "
+                f"({ate / max(span, 1e-9) * 100:.2f}% of trajectory span), "
+                f"RPE(1)={rpe * 100:.2f} cm over {len(ok_idx)} frames "
+                "(similarity-aligned; monocular scale freed)"
+            )
     if viz is not None:
         if sys.stdin.isatty():
             print(f"live viz still serving at {viz.url} — ctrl-c to exit")

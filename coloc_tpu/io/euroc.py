@@ -81,12 +81,16 @@ def load_dataset(
     num_frames: int = 0,
     stride: int = 1,
     cam: str = "cam0",
-) -> Tuple[Dict[int, list], np.ndarray, np.ndarray, Tuple[int, int]]:
-    """N EuRoC sequences (one per drone) -> (frames, Ks, dists, (w, h)).
+    with_timestamps: bool = False,
+):
+    """N EuRoC sequences (one per drone) -> (frames, Ks, dists, (w, h))
+    [+ timestamps with `with_timestamps=True`].
 
     Frames are aligned by NEAREST TIMESTAMP to drone 0's (strided) timeline —
     the ApproximateTimeSync analog for recorded data; `frames[d][i]` is the
     image of drone d closest in time to drone 0's i-th kept frame.
+    `timestamps[d][i]` is that frame's own timestamp (ns) — the key for
+    ground-truth association (load_groundtruth).
     """
     metas = []
     for root in seq_roots:
@@ -101,10 +105,57 @@ def load_dataset(
     if num_frames:
         base = base[:num_frames]
     frames: Dict[int, list] = {}
+    stamps: Dict[int, list] = {}
     for d, (_, _, _, flist) in enumerate(metas):
         ts = np.asarray([t for t, _ in flist], np.int64)
         picks = []
         for t0, _ in base:
             picks.append(int(np.argmin(np.abs(ts - t0))))
         frames[d] = [load_image(flist[i][1]) for i in picks]
+        stamps[d] = [flist[i][0] for i in picks]
+    if with_timestamps:
+        return frames, Ks, dists, size, stamps
     return frames, Ks, dists, size
+
+
+def load_groundtruth(seq_root: str):
+    """EuRoC ground truth -> (timestamps_ns (N,), positions (N, 3)) or None.
+
+    Reads `mav0/state_groundtruth_estimate0/data.csv` (columns: timestamp,
+    p_RS_R_{x,y,z}, q_RS_{w,x,y,z}, ...). Returns None when the sequence has
+    no ground-truth folder (e.g. the mock fixtures) so callers can gate the
+    accuracy report on availability.
+    """
+    for cand in (
+        os.path.join(seq_root, "mav0", "state_groundtruth_estimate0",
+                     "data.csv"),
+        os.path.join(seq_root, "state_groundtruth_estimate0", "data.csv"),
+    ):
+        if os.path.isfile(cand):
+            rows = []
+            with open(cand) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    parts = line.split(",")
+                    if len(parts) < 4:
+                        continue
+                    rows.append((int(parts[0]), float(parts[1]),
+                                 float(parts[2]), float(parts[3])))
+            if not rows:
+                return None
+            ts = np.asarray([r[0] for r in rows], np.int64)
+            pos = np.asarray([r[1:] for r in rows], np.float64)
+            return ts, pos
+    return None
+
+
+def groundtruth_at(ts_gt: np.ndarray, pos_gt: np.ndarray,
+                   stamps: Sequence[int]) -> np.ndarray:
+    """Nearest-timestamp ground-truth positions for a list of frame
+    timestamps -> (len(stamps), 3)."""
+    out = []
+    for t in stamps:
+        out.append(pos_gt[int(np.argmin(np.abs(ts_gt - t)))])
+    return np.asarray(out)

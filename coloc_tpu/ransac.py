@@ -180,19 +180,43 @@ def ransac(
         # capacity (~4 ms at Hm=1024, M=5000). Mirroring sequential
         # ACRANSAC's early rejection (it only evaluates the full NFA for
         # models that beat the incumbent), models are pre-ranked by cheap
-        # two-threshold inlier counts and the exact NFA runs on the TOP
-        # `_NFA_CANDIDATES` only; the winner among those is NFA-exact.
+        # threshold-ladder inlier counts and the exact NFA runs on the TOP
+        # `_NFA_CANDIDATES` only. The winner among those is NFA-exact, but
+        # the PRE-RANK is an approximation: a model excluded from the top-32
+        # is never NFA-scored, so this deviates from sequential ACRANSAC iff
+        # the true NFA winner ranks below 32 on the ladder counts
+        # (tests/test_robust.py pins winner equality against exhaustive NFA
+        # across seeds at reference capacity).
         all_res = jax.vmap(lambda m: scorer(m, *data))(flat_models)  # (Hm, M)
         # rank = integral of the inlier-count curve over a geometric
         # threshold ladder around the nominal gate. A model must fit tightly
         # AND broadly to rank high — counting at a single loose gate lets
         # sloppy models that grab accidental outliers outrank the exact
         # model, and a single tight gate is blind when the data's noise
-        # exceeds it (the adaptive-up case NFA exists for).
+        # exceeds it (the adaptive-up case NFA exists for). The top rung is
+        # data-derived: the median valid residual of the median model, so
+        # when the noise floor exceeds every static rung (seed threshold far
+        # too small) the pre-rank still discriminates instead of counting
+        # ~0 everywhere and passing an arbitrary top-32 to the exact NFA.
         rank = jnp.zeros(all_res.shape[0], jnp.int32)
-        for j in range(-2, 3):
+        # data-derived top rung from a strided SUBSAMPLE of the residual
+        # matrix (a full per-model median would re-introduce the (Hm, M)
+        # sorts the pre-rank exists to avoid); the rung only needs to sit
+        # at the data's noise scale, not be exact
+        Hm_, M_ = all_res.shape
+        sub = all_res[:: max(1, Hm_ // 64), :: max(1, M_ // 256)]
+        sub_valid = valid[None, :: max(1, M_ // 256)]
+        data_rung = jnp.nanmedian(
+            jnp.where(sub_valid, sub, jnp.nan).reshape(-1)
+        )
+        for j in range(-2, 4):
             tj = threshold_sq * (4.0 ** j)
             rank = rank + jnp.sum((all_res < tj) & valid[None, :], axis=1)
+        top_rung = jnp.maximum(
+            jnp.nan_to_num(data_rung, nan=threshold_sq),
+            threshold_sq * 4.0 ** 4,
+        )
+        rank = rank + jnp.sum((all_res < top_rung) & valid[None, :], axis=1)
         rank = jnp.where(flat_valid, rank, -1)
         k_nfa = min(_NFA_CANDIDATES, rank.shape[0])
         _, cand = jax.lax.top_k(rank, k_nfa)

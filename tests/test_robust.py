@@ -313,6 +313,91 @@ class TestNfaAdaptiveThreshold:
         # and still rejects the far junk (statistically meaningless)
         assert int(np.asarray(inl_n)[junk].sum()) < 8
 
+    def test_prerank_winner_equals_exhaustive_nfa(self):
+        """The count-ladder pre-rank (exact NFA only on the top-32
+        candidates, ransac.py) must pick the SAME winner as exhaustive NFA
+        over all models — across 50 seeded scenes at reference capacity
+        shapes (Hm=1024 models, M=5000 correspondences) spanning the
+        regimes NFA exists for: inlier ratios 0.15-0.9, noise 0.3-12 px vs
+        a 4 px seed gate (incl. adaptive-up where the static ladder rungs
+        are blind). Uses a cheap synthetic model family (2-D lines,
+        sample_size=2) so the property runs at full capacity — the pre-rank
+        operates purely on the (Hm, M) residual matrix, independent of the
+        model family that produced it. (VERDICT r2 item 5 / ADVICE r2.)"""
+        from coloc_tpu.ransac import (
+            _NFA_CANDIDATES, nfa_scores, ransac, sample_indices,
+        )
+
+        M, B = 5000, 1024
+        S = 2
+        log_alpha0 = float(np.log10(2.0 * 900.0 / (640.0 * 480.0)))
+
+        def solver(s1, s2):
+            # s1: the 2 sampled points (S=2, 2); line through them
+            p1, p2 = s1[0], s1[1]
+            d = p2 - p1
+            n = jnp.stack([-d[1], d[0]])
+            norm = jnp.linalg.norm(n)
+            ok = norm > 1e-6
+            n = n / jnp.maximum(norm, 1e-9)
+            c = -jnp.dot(n, p1)
+            return jnp.concatenate([n, c[None]])[None, :], ok[None]
+
+        def scorer(model, a1, a2):
+            return (a1 @ model[:2] + model[2]) ** 2
+
+        mismatches = 0
+        for seed in range(50):
+            r = np.random.default_rng(seed)
+            ratio = float(r.uniform(0.15, 0.9))
+            sigma = float(r.uniform(0.3, 12.0))
+            n_in = int(M * ratio)
+            t = r.uniform(-300, 300, n_in)
+            line_n = r.normal(size=2)
+            line_n /= np.linalg.norm(line_n)
+            p0 = r.uniform(100, 500, 2)
+            tang = np.array([-line_n[1], line_n[0]])
+            pts_in = p0 + t[:, None] * tang + (
+                r.normal(size=(n_in, 1)) * sigma * line_n
+            )
+            pts_out = r.uniform(0, (640, 480), (M - n_in, 2))
+            pts = np.concatenate([pts_in, pts_out]).astype(np.float32)
+            data = (jnp.asarray(pts), jnp.asarray(pts))
+            valid = jnp.ones(M, bool)
+            key = jax.random.PRNGKey(1000 + seed)
+
+            res = ransac(
+                key, data, valid, solver, scorer, sample_size=S,
+                num_hypotheses=B, threshold_sq=16.0, scoring="nfa",
+                log_alpha0=log_alpha0, error_dim=1.0,
+            )
+
+            # exhaustive reference: same samples -> same model set; score ALL
+            idx = sample_indices(key, valid, B, S)
+            g = tuple(d[idx] for d in data)
+            models, mvalid = jax.vmap(solver)(*g)
+            flat = models.reshape(-1, 3)
+            fvalid = mvalid.reshape(-1)
+            all_res = jax.vmap(lambda m: scorer(m, *data))(flat)
+            score, thr = nfa_scores(all_res, valid, S, log_alpha0, 1.0)
+            score = jnp.where(fvalid, score, jnp.inf)
+            best = int(jnp.argmin(score))
+            best_score = float(score[best])
+
+            # production winner must achieve the exhaustive-minimum NFA
+            # (ties in NFA may legitimately pick a different but equal model)
+            prod_res = scorer(res.model, *data)
+            prod_score, _ = nfa_scores(
+                prod_res[None], valid, S, log_alpha0, 1.0
+            )
+            if not np.isclose(float(prod_score[0]), best_score,
+                              rtol=1e-5, atol=1e-5):
+                mismatches += 1
+        assert mismatches == 0, (
+            f"pre-rank missed the exhaustive-NFA winner on {mismatches}/50 "
+            f"seeds (widen _NFA_CANDIDATES={_NFA_CANDIDATES})"
+        )
+
     def test_nfa_matches_count_on_clean_data(self, rng):
         # sub-gate noise: both scorings find essentially the same inlier set
         X, uv, junk = self._noisy_p3p(rng, noise_px=0.3, n_junk=40)
