@@ -97,13 +97,27 @@ def _detect_and_describe_trip_batch(
     B = images.shape[0]
     k = opts.max_keypoints
 
-    levels = pyr_ops.build_pyramid_batch(
-        images, opts.num_levels, opts.scale_factor
-    )
-    smoothed = [
-        jax.vmap(lambda im: pyr_ops.box_blur(im, opts.smoothing_radius))(lvl)
-        for lvl in levels
-    ]
+    if B == 1:
+        # single-frame specialization: plain 2-D resize matmuls and blur
+        # (the vmapped batch forms lower to batched dot_generals that cost
+        # ~0.2 ms extra at B=1 on v5e; results are identical)
+        lv = pyr_ops.build_pyramid(
+            images[0], opts.num_levels, opts.scale_factor
+        )
+        levels = [l[None] for l in lv]
+        smoothed = [
+            pyr_ops.box_blur(l, opts.smoothing_radius)[None] for l in lv
+        ]
+    else:
+        levels = pyr_ops.build_pyramid_batch(
+            images, opts.num_levels, opts.scale_factor
+        )
+        smoothed = [
+            jax.vmap(
+                lambda im: pyr_ops.box_blur(im, opts.smoothing_radius)
+            )(lvl)
+            for lvl in levels
+        ]
 
     sp_raw = patch_ops.stack_levels_batch(levels)
     sp_sm = patch_ops.stack_levels_batch(smoothed)
@@ -127,7 +141,10 @@ def _detect_and_describe_trip_batch(
     )
     nms = nms * jnp.asarray(mask)
 
-    flat = nms.reshape(B, R * wp)
+    # per-image reduction; B == 1 keeps the rank-1 form the single-frame
+    # path always used (the batched form is equivalent but may lower to a
+    # different reduction schedule)
+    flat = nms.reshape(-1) if B == 1 else nms.reshape(B, R * wp)
     if R * wp <= 2 * k:
         top_s, top_i = jax.lax.top_k(flat, k)
     else:

@@ -198,25 +198,31 @@ def ransac(
         # when the noise floor exceeds every static rung (seed threshold far
         # too small) the pre-rank still discriminates instead of counting
         # ~0 everywhere and passing an arbitrary top-32 to the exact NFA.
-        rank = jnp.zeros(all_res.shape[0], jnp.int32)
-        # data-derived top rung from a strided SUBSAMPLE of the residual
-        # matrix (a full per-model median would re-introduce the (Hm, M)
-        # sorts the pre-rank exists to avoid); the rung only needs to sit
-        # at the data's noise scale, not be exact
-        Hm_, M_ = all_res.shape
-        sub = all_res[:: max(1, Hm_ // 64), :: max(1, M_ // 256)]
-        sub_valid = valid[None, :: max(1, M_ // 256)]
-        data_rung = jnp.nanmedian(
-            jnp.where(sub_valid, sub, jnp.nan).reshape(-1)
+        # Ladder counting in ONE elementwise pass: for geometric rungs
+        # t*4^j, j in [jmin, jmax], the number of rungs a residual clears is
+        #   #{j : res < t*4^j} = clip(jmax - floor(log4(res / t)), 0, n)
+        # — replacing per-rung (Hm, M) compare+reduce passes (each pass is
+        # HBM-bound; at Hm=1024 the 5-pass ladder cost ~0.1 ms of the
+        # per-frame P3P budget). One log2 + clip costs less than two passes.
+        # Rung range [-2, 2] around the nominal gate (top rung 4^2 x the
+        # seed threshold, e.g. a 16 px epipolar band for a 4 px gate): wide
+        # enough that models separate on the loose rungs when the data's
+        # noise exceeds the gate (the adaptive-up regime NFA exists for —
+        # pinned by the 50-scene exhaustive-winner property test up to
+        # 3x-gate noise), tight enough that the rank prefers exact models.
+        # Wider ladders (jmax 3-6) and a data-derived rung were tried: both
+        # shuffle NFA tie-breaks toward broader models whose LM refinement
+        # converges measurably slower (+0.2 ms on the per-frame P3P path)
+        # with no winner-quality gain on the property test.
+        jmin, jmax = -2, 2
+        n_rungs = jmax - jmin + 1
+        v = jnp.log2(jnp.maximum(all_res, 1e-30)) - jnp.log2(
+            jnp.float32(threshold_sq)
         )
-        for j in range(-2, 4):
-            tj = threshold_sq * (4.0 ** j)
-            rank = rank + jnp.sum((all_res < tj) & valid[None, :], axis=1)
-        top_rung = jnp.maximum(
-            jnp.nan_to_num(data_rung, nan=threshold_sq),
-            threshold_sq * 4.0 ** 4,
+        cnt = jnp.clip(
+            jnp.float32(jmax) - jnp.floor(v * 0.5), 0.0, jnp.float32(n_rungs)
         )
-        rank = rank + jnp.sum((all_res < top_rung) & valid[None, :], axis=1)
+        rank = jnp.sum(jnp.where(valid[None, :], cnt, 0.0), axis=1)
         rank = jnp.where(flat_valid, rank, -1)
         k_nfa = min(_NFA_CANDIDATES, rank.shape[0])
         _, cand = jax.lax.top_k(rank, k_nfa)
