@@ -162,7 +162,10 @@ def main(argv=None):
             st = [euroc_stamps[d][i + offset] for i in ok_idx]
             gt_pos = euroc_io.groundtruth_at(gt[0], gt[1], st)
             ate, _ = metrics.ate_rmse(est, gt_pos, with_scale=True)
-            rpe = (metrics.rpe_translation(est, gt_pos)[0]
+            # frame_ids restricts RPE(1) to genuinely consecutive frames —
+            # across localization dropouts a raw row-to-row difference
+            # would span multi-frame gaps and inflate the per-step number
+            rpe = (metrics.rpe_translation(est, gt_pos, frame_ids=ok_idx)[0]
                    if len(ok_idx) >= 4 else float("nan"))
             span = float(np.linalg.norm(gt_pos.max(0) - gt_pos.min(0)))
             print(

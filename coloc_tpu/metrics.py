@@ -65,13 +65,20 @@ def ate_rmse(
 
 
 def rpe_translation(
-    est: np.ndarray, gt: np.ndarray, delta: int = 1, with_scale: bool = True
+    est: np.ndarray, gt: np.ndarray, delta: int = 1,
+    with_scale: bool = True, frame_ids=None,
 ) -> Tuple[float, np.ndarray]:
     """Relative pose error (translation drift per `delta` frames).
 
     Scale-aligns est once (monocular), then compares per-step displacement
     vectors: ||(est_{i+d} - est_i) * s_aligned - (gt_{i+d} - gt_i)||.
-    Returns (RMSE, per-step error norms).
+
+    `frame_ids`: optional per-row original frame indices. When the rows are
+    a SUBSET of the sequence (e.g. only the localized frames), pairs whose
+    id gap != delta are excluded so "RPE(delta)" really measures a
+    delta-frame step, not a variable multi-frame gap across localization
+    dropouts. Returns (RMSE, per-kept-step error norms); RMSE is NaN when
+    no pair qualifies.
     """
     est = np.asarray(est, np.float64)
     gt = np.asarray(gt, np.float64)
@@ -80,4 +87,10 @@ def rpe_translation(
     d_est = de[delta:] - de[:-delta]
     d_gt = gt[delta:] - gt[:-delta]
     res = np.linalg.norm(d_est - d_gt, axis=1)
+    if frame_ids is not None:
+        ids = np.asarray(frame_ids)
+        keep = (ids[delta:] - ids[:-delta]) == delta
+        res = res[keep]
+    if res.size == 0:
+        return float("nan"), res
     return float(np.sqrt((res ** 2).mean())), res

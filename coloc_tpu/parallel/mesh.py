@@ -20,7 +20,7 @@ all-gather + pairwise ICI fusion across the mesh.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +68,32 @@ def _per_drone_step(
     return bank, filtered, pwc, feats
 
 
+class InterDiag(NamedTuple):
+    """Diagnostics from inter_pose_device for host-side logging (guided
+    epipolar residuals, CSV rows) — everything session.inter_pose needs so
+    host and mesh paths share ONE compute core."""
+
+    geo_R: jnp.ndarray        # (3, 3) robust relative rotation (pre-refine)
+    geo_t: jnp.ndarray        # (3,) robust unit translation
+    n_inliers: jnp.ndarray    # () int32 geometric inliers
+    n_common: jnp.ndarray     # () int32 common landmarks map<->temp
+    rmse: jnp.ndarray         # () refine reprojection RMSE
+    omega: jnp.ndarray        # () ICI weight
+    trace: jnp.ndarray        # () fused covariance trace
+    obs_src: jnp.ndarray      # (L, 2) temp src-view obs per map landmark
+    obs_dst: jnp.ndarray      # (L, 2) temp dst-view obs per map landmark
+    guided_mask: jnp.ndarray  # (L,) bool valid guided-residual entries
+
+
+class InterPoseOut(NamedTuple):
+    fused_pos: jnp.ndarray    # (3,)
+    fused_cov: jnp.ndarray    # (3, 3)
+    ok: jnp.ndarray           # () bool
+    rel: Pose                 # refined relative pose (dst in src frame)
+    scale: jnp.ndarray        # () monocular scale factor applied
+    diag: InterDiag
+
+
 def inter_pose_device(
     key,
     f_dst: Features,          # my (destination) frame features
@@ -82,9 +108,12 @@ def inter_pose_device(
     dst_cov3: jnp.ndarray,    # (3, 3) my intra position covariance
     mapdb: MapDB,             # replicated shared map
     config: ColocConfig,
-):
+) -> InterPoseOut:
     """interPoseEstimator stage-for-stage as ONE device computation
-    (coloc.hpp:274-392), fully masked — no host branching:
+    (coloc.hpp:274-392), fully masked — no host branching. This is the
+    SINGLE compute core for both paths: session.inter_pose (host events)
+    and the sharded mesh exchange (_inter_exchange_step) both call it, so
+    the two can never diverge semantically.
 
       1. pairwise match src->dst            (:287  computeMatchesPair)
       2. robust relative pose               (:296  filterMatchesPair)
@@ -98,8 +127,7 @@ def inter_pose_device(
 
     Failure semantics (reference: early returns) become a mask: if the
     relative pose fails or too few common landmarks exist, the fused output
-    is the drone's own intra estimate. Returns
-    (fused_pos (3,), fused_cov (3,3), ok (), rel: Pose, scale ()).
+    is the drone's own intra estimate.
     """
     cfg = config
     # 1. pairwise putative match (query = src, train = dst)
@@ -148,7 +176,17 @@ def inter_pose_device(
     ok = geo.success & (n_common >= 2)
     fused_pos = jnp.where(ok, fused.pos, dst_pos)
     fused_cov = jnp.where(ok, fused.cov, C_intra)
-    return fused_pos, fused_cov, ok, rel, scale
+    diag = InterDiag(
+        geo_R=geo.R, geo_t=geo.t, n_inliers=geo.n_inliers,
+        n_common=n_common, rmse=ba_res.rmse,
+        omega=fused.omega, trace=fused.trace,
+        obs_src=temp.obs[0][mm.idx], obs_dst=temp.obs[1][mm.idx],
+        guided_mask=mm.mask & mapdb.valid & temp.X_valid[mm.idx],
+    )
+    return InterPoseOut(
+        fused_pos=fused_pos, fused_cov=fused_cov, ok=ok, rel=rel,
+        scale=scale, diag=diag,
+    )
 
 
 def _inter_exchange_step(
@@ -207,12 +245,12 @@ def sharded_inter_step(mesh: Mesh, config: ColocConfig):
              map_X, map_desc, map_valid):
         mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
         feats = Features(*[l[0] for l in f_leaves])
-        fused_pos, fused_cov, ok, rel, scale = _inter_exchange_step(
+        out = _inter_exchange_step(
             keys[0], feats, Ks[0], dists[0], Rs[0], Cs[0], cov3s[0],
             mapdb, config,
         )
-        return (fused_pos[None], fused_cov[None], ok[None],
-                rel.R[None], rel.C[None], scale[None])
+        return (out.fused_pos[None], out.fused_cov[None], out.ok[None],
+                out.rel.R[None], out.rel.C[None], out.scale[None])
 
     sharded = jax.shard_map(
         step,
@@ -278,15 +316,18 @@ def collaborative_step(
             # full interPoseEstimator over the mesh: descriptor-bank
             # exchange + relative pose + temp reconstruction + scale
             # alignment + pose-only refine + ICI (see _inter_exchange_step)
-            fused_pos, fused_cov, ok, _rel, _scale = _inter_exchange_step(
+            iout = _inter_exchange_step(
                 k_inter, feats, Ks[0], dists[0], filtered.R, pos, cov,
                 mapdb, config,
             )
+            fused_pos, fused_cov, ok = iout.fused_pos, iout.fused_cov, iout.ok
         elif inter == "ici":
             all_pos = jax.lax.all_gather(pos, DRONE_AXIS)      # (D, 3)
             all_cov = jax.lax.all_gather(cov, DRONE_AXIS)      # (D, 3, 3)
             me = jax.lax.axis_index(DRONE_AXIS)
-            other = (me + 1) % n
+            # ring PREDECESSOR, matching inter="full"'s partner choice so
+            # the cheap fallback approximates the full mode drone-for-drone
+            other = (me - 1) % n
             fused = covint.fuse(cov, all_cov[other], pos, all_pos[other])
             fused_pos, fused_cov = fused.pos, fused.cov
             ok = pwc.success
@@ -341,10 +382,15 @@ def collaborative_step_scan(mesh: Mesh, config: ColocConfig):
 
     def step(keys, images, Ks, dists, fb_x, fb_P, fb_steps,
              map_X, map_desc, map_valid):
+        from coloc_tpu.types import empty_features
+
         mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
 
         def body(carry, inp):
-            fb_x, fb_P, fb_steps = carry
+            # the latest frame's features/pose ride the CARRY (only the
+            # final frame feeds the inter exchange) so the scan does not
+            # materialize (F, kp, ...) feature banks it never reads
+            fb_x, fb_P, fb_steps, _f, _R, _k = carry
             key, img = inp               # (1, 2), (1, H, W) — local shard
             k_loc, k_inter = jax.random.split(key[0])
             bank, filtered, pwc, feats = _per_drone_step(
@@ -352,23 +398,27 @@ def collaborative_step_scan(mesh: Mesh, config: ColocConfig):
             )
             cov = pwc.cov[3:6, 3:6] + 1e-5 * jnp.eye(3)
             return (
-                (bank.x, bank.P, bank.steps),
-                (filtered.C, cov, pwc.success, filtered.R, feats, k_inter),
+                (bank.x, bank.P, bank.steps, feats, filtered.R, k_inter),
+                (filtered.C, cov, pwc.success),
             )
 
-        carry, outs = jax.lax.scan(
-            body, (fb_x, fb_P, fb_steps), (keys, images)
+        init = (
+            fb_x, fb_P, fb_steps,
+            empty_features(config.detector.max_keypoints),
+            jnp.eye(3), jnp.zeros((2,), jnp.uint32),
         )
-        pos_s, cov_s, ok_s, R_s, feats_s, kis = outs
+        carry, outs = jax.lax.scan(body, init, (keys, images))
+        fbx, fbP, fbs, feats_last, R_last, k_last = carry
+        pos_s, cov_s, ok_s = outs
 
         # inter-drone event on the chunk's final frame
-        last = lambda a: jax.tree_util.tree_map(lambda x: x[-1], a)
-        fused_pos, fused_cov, iok, _rel, _scale = _inter_exchange_step(
-            kis[-1], last(feats_s), Ks[0], dists[0],
-            R_s[-1], pos_s[-1], cov_s[-1], mapdb, config,
+        iout = _inter_exchange_step(
+            k_last, feats_last, Ks[0], dists[0],
+            R_last, pos_s[-1], cov_s[-1], mapdb, config,
         )
+        fused_pos, fused_cov, iok = iout.fused_pos, iout.fused_cov, iout.ok
         return (
-            carry[0], carry[1], carry[2],
+            fbx, fbP, fbs,
             pos_s[:, None], cov_s[:, None], ok_s[:, None],
             fused_pos[None], fused_cov[None], iok[None],
         )

@@ -193,11 +193,7 @@ def ransac(
         # AND broadly to rank high — counting at a single loose gate lets
         # sloppy models that grab accidental outliers outrank the exact
         # model, and a single tight gate is blind when the data's noise
-        # exceeds it (the adaptive-up case NFA exists for). The top rung is
-        # data-derived: the median valid residual of the median model, so
-        # when the noise floor exceeds every static rung (seed threshold far
-        # too small) the pre-rank still discriminates instead of counting
-        # ~0 everywhere and passing an arbitrary top-32 to the exact NFA.
+        # exceeds it (the adaptive-up case NFA exists for).
         # Ladder counting in ONE elementwise pass: for geometric rungs
         # t*4^j, j in [jmin, jmax], the number of rungs a residual clears is
         #   #{j : res < t*4^j} = clip(jmax - floor(log4(res / t)), 0, n)

@@ -392,6 +392,17 @@ class ColocSession:
                 out[d].append(result)
                 if f == F - 1:
                     self.last_pose[d] = result
+                if self.viz is not None:
+                    # replay every chunk frame to the live viewer so it
+                    # matches intra_pose_all's per-frame publishing (the
+                    # conversions force a host sync — viz is interactive
+                    # tooling, not the steady-state perf path)
+                    Pd = np.asarray(fbP_s[f, d])
+                    self.viz.publish_pose(
+                        d, np.asarray(filt_d.C), cov3=Pd[:3, :3],
+                        success=bool(result.success),
+                        frame=self.frame + f,
+                    )
         self.frame += F
         return out
 
@@ -584,81 +595,58 @@ class ColocSession:
         (interPoseEstimator, coloc.hpp:274-392). `feats`: optional detected-
         feature cache (inter_pose_round shares one detection per drone
         across the round's pairs). `key`: optional explicit RANSAC key (the
-        mesh-parity tests drive host and sharded paths with one key)."""
+        mesh-parity tests drive host and sharded paths with one key).
+
+        The compute is the SHARED masked device core
+        (parallel.mesh.inter_pose_device — the same function the sharded
+        exchange runs), so the host and mesh paths cannot diverge; this
+        wrapper adds the host concerns: early returns, guided-residual
+        logging, CSV rows."""
         cfg = self.config
+        if src not in self.last_pose or dst not in self.last_pose:
+            return None
         feats = feats or {}
         f_src = feats[src] if src in feats else self.detect(images[src])
         f_dst = feats[dst] if dst in feats else self.detect(images[dst])
-        m = matching.match_pair(f_src, f_dst, cfg.matcher)
-        geo = self._relative_pose(
+
+        from coloc_tpu.parallel.mesh import inter_pose_device
+
+        pose_src = self.last_pose[src]
+        pose_dst = self.last_pose[dst]
+        out = inter_pose_device(
             key if key is not None else self._next_key(),
-            f_src.xy, f_dst.xy[m.idx], m.mask,
-            self.cams[src], self.cams[dst],
+            f_dst, f_src, self.cams[src], self.cams[dst],
+            jnp.stack([self.Ks[src], self.Ks[dst]]),
+            jnp.stack([self.dists[src], self.dists[dst]]),
+            pose_src.pose, pose_src.cov[3:6, 3:6],
+            pose_dst.pose.C, pose_dst.cov[3:6, 3:6],
+            self.mapdb, cfg,
         )
-        if not bool(geo.success):
-            return None
-
-        # temporary two-view scene (interReconstruct parity)
-        temp = reconstruct.two_view_scene(
-            f_src, f_dst, m, geo.inliers, geo.R, geo.t,
-            Pose(R=jnp.eye(3), C=jnp.zeros(3)), 1.0,
-            self.cams[src], self.cams[dst],
-            num_landmarks=cfg.max_landmarks,
-        )
-        temp_db = reconstruct.scene_to_mapdb(temp)  # setupMapDatabase(inter=1)
-
-        # map-to-map descriptor match + scale alignment
-        mm = matching.match_maps(self.mapdb, temp_db, cfg.matcher)
-        n_common = int(jnp.sum(mm.mask & self.mapdb.valid))
-        if n_common < 2:
+        if not bool(out.ok):
             return None
 
         # epipolar-guided residual diagnostics under the known relative pose
         # (RobustMatcher::matchMaps parity, guidedmatches2.txt log). The F
-        # matrix is built from geo (current src->dst motion), so the
+        # matrix is built from the robust src->dst motion, so the
         # geometrically consistent pixel pair for each matched landmark is
-        # its observation in the TEMP scene's two views (src row 0, dst row
-        # 1) — not the bootstrap-era map observation.
+        # its observation in the TEMP scene's two views.
         if self.out_dir:
+            d = out.diag
             res = utils.guided_match_residuals(
-                self.cams[src].K, self.cams[dst].K, geo.R, geo.t,
-                temp.obs[0][mm.idx],
-                temp.obs[1][mm.idx],
-                mm.mask & self.mapdb.valid & temp.X_valid[mm.idx],
+                self.cams[src].K, self.cams[dst].K, d.geo_R, d.geo_t,
+                d.obs_src, d.obs_dst, d.guided_mask,
             )
             res_np = np.asarray(res)
             with open(
                 os.path.join(self.out_dir, "guidedmatches2.txt"), "a"
             ) as fh:
-                for r in res_np[np.asarray(mm.mask & self.mapdb.valid)]:
+                for r in res_np[np.asarray(d.guided_mask)]:
                     fh.write(f"{float(r)}\n")
 
-        scale = utils.compute_scale_difference(self.mapdb, temp_db, mm)
-        Xs, Cs = utils.rescale_map(temp.X, temp.Cs, scale)
-        temp = temp._replace(X=Xs, Cs=Cs)
-
-        # pose-only refinement of the scaled relative pose -> covariance
-        idx = [src, dst] if src < len(self.cams) else [0, 1]
-        temp, ba_res = reconstruct.refine_scene(
-            temp, self.Ks[jnp.asarray(idx)], self.dists[jnp.asarray(idx)],
-            cfg.refiner, fix_pose=jnp.asarray([True, False]), cov_view=1,
+        fused = covint.FusionResult(
+            cov=out.fused_cov, pos=out.fused_pos,
+            omega=out.diag.omega, trace=out.diag.trace,
         )
-
-        # compose the fused dst-position candidate: src pose o relative pose
-        if src not in self.last_pose or dst not in self.last_pose:
-            return None
-        pose_src = self.last_pose[src]
-        pose_dst = self.last_pose[dst]
-        rel = Pose(R=temp.Rs[1], C=temp.Cs[1])  # dst in src-anchored frame
-        cand_C = pose_src.pose.C + pose_src.pose.R.T @ rel.C
-
-        # ICI fusion of dst's intra estimate with the src+relative candidate
-        C_intra = pose_dst.cov[3:6, 3:6] + 1e-6 * jnp.eye(3)
-        C_cand = (
-            pose_src.cov[3:6, 3:6] + ba_res.cov[3:6, 3:6] + 1e-6 * jnp.eye(3)
-        )
-        fused = covint.fuse(C_intra, C_cand, pose_dst.pose.C, cand_C)
-
         if self.filtered_log:
             self.filtered_log.log(
                 self.frame, dst, src, np.asarray(fused.pos),
@@ -666,7 +654,7 @@ class ColocSession:
                     jnp.zeros((6, 6)).at[3:6, 3:6].set(fused.cov)
                 ),
                 np.asarray(so3.rot_to_euler(pose_dst.pose.R)),
-                float(ba_res.rmse), int(geo.n_inliers),
+                float(out.diag.rmse), int(out.diag.n_inliers),
             )
         return fused
 
@@ -764,15 +752,22 @@ class ColocSession:
         frames: Dict[int, list],
         chunk: int = 16,
         inter_every: int = 0,
+        update_map_every: int = 0,
+        auto_update_map: bool = False,
+        auto_update_patience: int = 3,
     ) -> Dict[int, list]:
         """mainThread with DEVICE-RESIDENT stepping: frames are staged in
         (chunk, D, H, W) blocks and each block runs as one lax.scan dispatch
-        (intra_pose_chunk). Inter-drone fusion rounds run at chunk
-        boundaries — `inter_every` is rounded UP to a whole number of chunks
-        (a documented deviation from run()'s exact per-frame schedule; the
-        reference's inter cadence is a soft rate, coloc.hpp:141). The last
-        partial chunk falls back to per-frame stepping so no frame is
-        dropped."""
+        (intra_pose_chunk). Inter-drone fusion rounds and map maintenance
+        run at chunk boundaries — `inter_every`/`update_map_every` are
+        rounded UP to a whole number of chunks (a documented deviation from
+        run()'s exact per-frame schedule; the reference's cadences are soft
+        rates, coloc.hpp:141). `auto_update_map` counts chunks in which NO
+        drone localized on any frame, and rebuilds the map after
+        `auto_update_patience` consecutive dead chunks (updateMap recovery,
+        coloc.hpp:394-459; reading the success flags forces one host sync
+        per chunk, only when enabled). The last partial chunk falls back to
+        per-frame stepping so no frame is dropped."""
         cfg = self.config
         D = cfg.num_drones
         num_frames = min(len(v) for v in frames.values())
@@ -786,6 +781,10 @@ class ColocSession:
             return out
 
         inter_chunks = max(1, -(-inter_every // chunk)) if inter_every else 0
+        update_chunks = (
+            max(1, -(-update_map_every // chunk)) if update_map_every else 0
+        )
+        dead_chunks = 0
         chunks_done = 0
         try:
             while f < num_frames:
@@ -811,7 +810,28 @@ class ColocSession:
                 f += n
                 chunks_done += 1
                 if inter_chunks and chunks_done % inter_chunks == 0 and D >= 2:
+                    # log fusion rows against the frame actually fused
+                    # (intra_pose_chunk advanced self.frame to f == one
+                    # past the chunk's last frame)
+                    self.frame = f - 1
                     self.inter_pose_round(
+                        {d: frames[d][f - 1] for d in range(D)}
+                    )
+                    self.frame = f
+                trigger = (
+                    update_chunks and chunks_done % update_chunks == 0
+                )
+                if auto_update_map:
+                    chunk_ok = any(
+                        bool(p.success)
+                        for d in range(D) for p in res[d]
+                    )
+                    dead_chunks = 0 if chunk_ok else dead_chunks + 1
+                    if dead_chunks >= auto_update_patience:
+                        trigger = True
+                        dead_chunks = 0
+                if trigger:
+                    self.update_map(
                         {d: frames[d][f - 1] for d in range(D)}
                     )
                 if len(self._pending_logs) >= 64:

@@ -118,6 +118,16 @@ class TestSession:
         lines = (tmp_path / "poses.txt").read_text().strip().splitlines()
         assert len(lines) == 1 + sum(len(v) for v in r2.values())
 
+    def test_run_chunked_update_map(self, dataset):
+        """Map maintenance at chunk boundaries: update_map_every rounds to
+        whole chunks and rebuilds the map mid-run."""
+        frames, gt = dataset
+        s = make_session()
+        assert s.init_map({0: frames[0][0], 1: frames[1][0]})
+        X_before = np.asarray(s.scene.X).copy()
+        s.run_chunked(frames, chunk=2, update_map_every=2)
+        assert not np.array_equal(np.asarray(s.scene.X), X_before)
+
     def test_update_map(self, dataset):
         frames, gt = dataset
         session = make_session()
