@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--out", default="coloc_out")
     ap.add_argument("--model", default="E", choices=["E", "F", "H"])
     ap.add_argument("--maxkp", type=int, default=1024)
+    ap.add_argument("--fast-threshold", type=int, default=40,
+                    help="FAST corner threshold (reference default 40, "
+                         "coloc_node.cpp:81; lower for small/low-contrast "
+                         "frames)")
     ap.add_argument("--inter-every", type=int, default=10)
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a synthetic dataset instead of reading --folder")
@@ -95,7 +99,8 @@ def main(argv=None):
         model=args.model,
         image_folder=args.folder,
         detector=DetectorOptions(
-            width=size[0], height=size[1], max_keypoints=args.maxkp
+            width=size[0], height=size[1], max_keypoints=args.maxkp,
+            fast_threshold=args.fast_threshold,
         ),
     )
     session = ColocSession(config, Ks, dists, out_dir=args.out, viz=viz)

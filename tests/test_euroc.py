@@ -15,7 +15,8 @@ H, W = 96, 128
 K = np.array([[100.0, 0, 64], [0, 101.0, 48], [0, 0, 1]], np.float32)
 
 
-def _write_sequence(root, t0_ns, n, scene, drone):
+def _write_sequence(root, t0_ns, n, scene, drone,
+                    dist="[-0.28, 0.07, 0.0002, 0.00002]"):
     cam = os.path.join(root, "mav0", "cam0")
     os.makedirs(os.path.join(cam, "data"))
     with open(os.path.join(cam, "sensor.yaml"), "w") as f:
@@ -23,7 +24,7 @@ def _write_sequence(root, t0_ns, n, scene, drone):
             "sensor_type: camera\n"
             "intrinsics: [100.0, 101.0, 64.0, 48.0]\n"
             "distortion_model: radial-tangential\n"
-            "distortion_coefficients: [-0.28, 0.07, 0.0002, 0.00002]\n"
+            f"distortion_coefficients: {dist}\n"
             f"resolution: [{W}, {H}]\n"
         )
     from coloc_tpu.io.synthetic import trajectory, render
@@ -92,7 +93,43 @@ class TestEurocIngest:
         np.testing.assert_allclose(at[0], [0.1, 0.2, -0.05])
 
 
-class TestTrajectoryMetrics:
+class TestCliEurocRunpath:
+    def test_cli_euroc_with_groundtruth_reports_ate(self, tmp_path, capsys):
+        """End-to-end --euroc runpath: two mock ASL sequences with ground
+        truth -> session runs -> per-drone ATE/RPE lines print (the
+        BASELINE 'within 1%' claim is checkable the moment real data is
+        mounted; VERDICT r2 item 7)."""
+        from coloc_tpu import cli
+        from coloc_tpu.io.synthetic import trajectory
+
+        scene = synthetic.make_scene(H, W, K, seed=4)
+        roots = []
+        for d in range(2):
+            root = str(tmp_path / f"seq{d}")
+            # undistorted yaml: the mock renderer projects pinhole-only, so
+            # the calib must agree for localization to succeed
+            _write_sequence(root, 1_000_000_000, 6, scene, d,
+                            dist="[0.0, 0.0, 0.0, 0.0]")
+            # ground truth from the same trajectory generator, 200 Hz
+            Rs, Cs = trajectory(6, d)
+            gt_dir = os.path.join(root, "mav0",
+                                  "state_groundtruth_estimate0")
+            os.makedirs(gt_dir)
+            with open(os.path.join(gt_dir, "data.csv"), "w") as f:
+                f.write("#timestamp, p_RS_R_x [m], p_RS_R_y [m],"
+                        " p_RS_R_z [m], q_RS_w [], ...\n")
+                for i in range(6):
+                    ts = 1_000_000_000 + i * 50_000_000
+                    f.write(f"{ts},{Cs[i][0]},{Cs[i][1]},{Cs[i][2]},"
+                            "1,0,0,0\n")
+            roots.append(root)
+
+        out = str(tmp_path / "run_out")
+        cli.main(["--euroc", *roots, "--out", out, "--maxkp", "256",
+                  "--fast-threshold", "10", "--inter-every", "0"])
+        text = capsys.readouterr().out
+        assert "ATE=" in text, text
+        assert "drone 0:" in text and "drone 1:" in text
     def test_ate_invariant_to_similarity(self, rng):
         """ATE after Umeyama alignment is ~0 for a rotated+scaled+shifted
         copy, and equals injected noise RMS otherwise."""
