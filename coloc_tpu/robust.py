@@ -71,6 +71,11 @@ def relative_pose_essential(
     def scorer(E, a1, a2):
         return ess.symmetric_epipolar_distance_sq(E, a1, a2, f1_sq, f2_sq)
 
+    def batch_scorer(Es, a1, a2):
+        return ess.symmetric_epipolar_distance_sq_batch(
+            Es, a1, a2, f1_sq, f2_sq
+        )
+
     # log_alpha0 for point-to-line error in PIXEL units
     A_px = (2.0 * cam1.cx) * (2.0 * cam1.cy)
     D_px = jnp.sqrt((2.0 * cam1.cx) ** 2 + (2.0 * cam1.cy) ** 2)
@@ -79,7 +84,7 @@ def relative_pose_essential(
         sample_size=5, num_hypotheses=opts.num_hypotheses,
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
-        error_dim=1.0,
+        error_dim=1.0, batch_scorer=batch_scorer,
     )
 
     R, t = ess.decompose_essential(res.model, x1, x2, res.inliers)
@@ -129,6 +134,9 @@ def relative_pose_fundamental(
     def scorer(F, a1, a2):
         return ess.symmetric_epipolar_distance_sq(F, a1, a2)
 
+    def batch_scorer(Fs, a1, a2):
+        return ess.symmetric_epipolar_distance_sq_batch(Fs, a1, a2)
+
     # log_alpha0 for point-to-line error in PIXEL units
     A_px = (2.0 * cam1.cx) * (2.0 * cam1.cy)
     D_px = jnp.sqrt((2.0 * cam1.cx) ** 2 + (2.0 * cam1.cy) ** 2)
@@ -138,7 +146,7 @@ def relative_pose_fundamental(
         threshold_sq=opts.essential_threshold ** 2,
         inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
-        error_dim=1.0,
+        error_dim=1.0, batch_scorer=batch_scorer,
     )
     # least-squares re-fit over the inlier set (see essential path)
     F_refit = ess.fundamental_8pt(u1, u2, weights=res.inliers.astype(jnp.float32))
@@ -159,6 +167,38 @@ def relative_pose_fundamental(
         R=R, t=t, inliers=res.inliers,
         n_inliers=res.n_inliers, success=res.success,
     )
+
+
+def _p3p_batch_residuals(
+    flats: jnp.ndarray,     # (Hm, 12) row-major R | C per model
+    Xw: jnp.ndarray,        # (M, 3)
+    bearings: jnp.ndarray,  # (M, 3)
+    focal: jnp.ndarray,
+) -> jnp.ndarray:
+    """All-models P3P reprojection residuals as ONE matmul + epilogue, (Hm, M).
+
+    vmap of the per-model scorer lowers the camera transform to Hm tiny K=3
+    contractions (~0.17 ms at Hm=1024, M=1024 — the single biggest slice of
+    the per-frame P3P budget); instead:
+      Xc[m, l] = R_m (X_l - C_m) = X_l . R_m^T - R_m C_m
+    so every model's rotated coordinates come from one (M, 3) x (3, 3*Hm)
+    dot (MXU), with the per-model translation R_m C_m broadcast-subtracted.
+    Values match the per-model scorer to f32 rounding
+    (tests/test_robust.py::TestBatchScorerParity pins this).
+    """
+    Hm = flats.shape[0]
+    R = flats[:, :9].reshape(Hm, 3, 3)
+    C = flats[:, 9:]
+    W = R.transpose(2, 0, 1).reshape(3, Hm * 3)       # W[d, m*3+k] = R[m,k,d]
+    Y = (Xw @ W).reshape(-1, Hm, 3)                   # (M, Hm, 3)
+    t = jnp.einsum("mkd,md->mk", R, C)                # (Hm, 3) = R_m C_m
+    Xc = Y - t[None, :, :]                            # (M, Hm, 3)
+    z = Xc[..., 2]
+    proj = Xc[..., :2] / jnp.maximum(z, 1e-9)[..., None]
+    obs = bearings[:, :2] / jnp.maximum(bearings[:, 2:3], 1e-9)
+    err = jnp.sum((proj - obs[:, None, :]) ** 2, axis=-1)
+    err = err * focal ** 2
+    return jnp.where(z <= 0, 1e12, err).T             # (Hm, M)
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -196,13 +236,16 @@ def absolute_pose_p3p(
         behind = Xc[:, 2] <= 0
         return jnp.where(behind, 1e12, err)
 
+    def batch_scorer(flats, Xw, bearings):
+        return _p3p_batch_residuals(flats, Xw, bearings, _mean_focal(cam))
+
     res = ransac(
         key, (X_world, b), mask, solver, scorer,
         sample_size=3, num_hypotheses=opts.num_hypotheses,
         threshold_sq=opts.p3p_threshold ** 2,
         inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=_point_log_alpha0(cam),
-        error_dim=2.0,
+        error_dim=2.0, batch_scorer=batch_scorer,
     )
     pose = Pose(R=res.model[:9].reshape(3, 3), C=res.model[9:])
     return pose, res.inliers, res.n_inliers, res.success

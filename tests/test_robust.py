@@ -414,3 +414,62 @@ class TestNfaAdaptiveThreshold:
             np.asarray(inl_c)[~junk].sum()
         )
         assert int(np.asarray(inl_n)[junk].sum()) < 8
+
+
+class TestBatchScorerParity:
+    """The MXU-batched all-models scorers must agree with the per-model
+    scorers they replace (ransac() classifies the winner's inliers with the
+    single-model scorer, so any disagreement silently shifts NFA ranks)."""
+
+    def test_pack_valid_first_matches_stable_argsort(self):
+        from coloc_tpu.ransac import _pack_valid_first
+
+        rng = np.random.default_rng(3)
+        for n, p in [(64, 0.5), (1024, 0.9), (1024, 0.1), (17, 1.0), (8, 0.0)]:
+            valid = jnp.asarray(rng.random(n) < p)
+            got = np.asarray(_pack_valid_first(valid))
+            want = np.argsort(np.asarray(~valid), kind="stable")
+            np.testing.assert_array_equal(got, want)
+
+    def test_epipolar_batch_matches_vmap(self, rng):
+        Es = jnp.asarray(rng.normal(size=(37, 3, 3)), jnp.float32)
+        x1 = jnp.asarray(rng.normal(size=(211, 2)), jnp.float32)
+        x2 = jnp.asarray(rng.normal(size=(211, 2)), jnp.float32)
+        got = ess.symmetric_epipolar_distance_sq_batch(Es, x1, x2, 1.3, 0.7)
+        want = jax.vmap(
+            lambda E: ess.symmetric_epipolar_distance_sq(E, x1, x2, 1.3, 0.7)
+        )(Es)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-4
+        )
+
+    def test_p3p_batch_scorer_matches_vmap(self, rng):
+        from coloc_tpu.robust import _mean_focal, _p3p_batch_residuals
+
+        Hm, M = 29, 97
+        Rs = np.stack([so3.exp(jnp.asarray(v, jnp.float32))
+                       for v in rng.normal(size=(Hm, 3))])
+        Cs = rng.normal(size=(Hm, 3)).astype(np.float32)
+        flats = jnp.asarray(
+            np.concatenate([Rs.reshape(Hm, 9), Cs], axis=1), jnp.float32
+        )
+        Xw = jnp.asarray(rng.uniform(-3, 3, (M, 3)) + [0, 0, 8], jnp.float32)
+        bear = jnp.asarray(rng.normal(size=(M, 3)), jnp.float32)
+        bear = bear.at[:, 2].set(jnp.abs(bear[:, 2]) + 0.5)
+        focal = _mean_focal(CAM)
+
+        def one(flat):  # the per-model scorer form in absolute_pose_p3p
+            R = flat[:9].reshape(3, 3)
+            C = flat[9:]
+            Xc = (Xw - C) @ R.T
+            proj = Xc / jnp.maximum(Xc[:, 2:3], 1e-9)
+            obs = bear / jnp.maximum(bear[:, 2:3], 1e-9)
+            err = jnp.sum((proj[:, :2] - obs[:, :2]) ** 2, axis=-1)
+            err = err * focal ** 2
+            return jnp.where(Xc[:, 2] <= 0, 1e12, err)
+
+        want = np.asarray(jax.vmap(one)(flats))
+        got = np.asarray(_p3p_batch_residuals(flats, Xw, bear, focal))
+        keep = (want < 1e11) & (got < 1e11)  # same behind-camera set
+        np.testing.assert_array_equal(want < 1e11, got < 1e11)
+        np.testing.assert_allclose(got[keep], want[keep], rtol=3e-4, atol=1e-3)
