@@ -75,6 +75,21 @@ def _huber_weights(res_sq: jnp.ndarray, delta_sq: float) -> jnp.ndarray:
     return jnp.sqrt(w)
 
 
+# Marquardt-damping diagonal clamp (Ceres min_diagonal/max_diagonal parity)
+_DIAG_MIN = 1e-6
+_DIAG_MAX = 1e32
+# relative parameter tolerance for the small-step convergence exit. Ceres's
+# parameter_tolerance default is 1e-8 in DOUBLE precision; 1e-5 sits safely
+# above the f32 rounding floor (~1e-7 relative) while resolving pose far
+# beyond the pipeline's accuracy envelope (~0.05 deg / 1 cm).
+_STEP_TOL = 1e-5
+
+
+def _diag3(M: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Batched diagonal of (..., n, n) -> (..., n)."""
+    return M[..., jnp.arange(n), jnp.arange(n)]
+
+
 def _spd_inv(M: jnp.ndarray, rel_floor: float = 1e-6) -> jnp.ndarray:
     """Inverse of symmetric PSD blocks via eigh with a RELATIVE eigenvalue
     floor. f32 LU-based `inv` NaNs out on the nearly-rank-deficient landmark
@@ -162,9 +177,17 @@ def refine(
         gp = -jnp.einsum("vlri,vlr->vi", Jp, rw)              # (V, 6)
         gx = -jnp.einsum("vlri,vlr->li", Jx, rw)              # (L, 3)
 
+        # Marquardt scaling (Ceres LEVENBERG_MARQUARDT parity: the damping
+        # term is lam * diag(J^T J), clamped — NOT lam * I). The Hessian
+        # diagonal here is ~1e6-1e8 (focal-scaled jacobians over thousands
+        # of observations), so an absolute lam*I with lam <= 1e4 never
+        # actually damps: rejected-step escalation was a no-op and the loop
+        # burned ~14 dead iterations riding lam to its cap after converging.
         lam = lm_lambda
-        U_d = U + lam * jnp.eye(6)[None]
-        Vb_d = Vb + lam * jnp.eye(3)[None]
+        dU = jnp.clip(_diag3(U, 6), _DIAG_MIN, _DIAG_MAX)     # (V, 6)
+        dV = jnp.clip(_diag3(Vb, 3), _DIAG_MIN, _DIAG_MAX)    # (L, 3)
+        U_d = U + lam * jax.vmap(jnp.diag)(dU)
+        Vb_d = Vb + lam * jax.vmap(jnp.diag)(dV)
 
         if optimize_structure:
             Vinv = _spd_inv(Vb_d)  # (L, 3, 3)
@@ -211,11 +234,11 @@ def refine(
     # the per-frame pose refinement converges in <10 iterations while the
     # reference budget (and our cap) is much larger.
     def lm_cond(state):
-        _, _, _, _, it, done = state
+        _, _, _, _, _, it, done = state
         return (it < opts.max_iterations) & ~done
 
     def lm_body(state):
-        Rs, Cs, X, lam, it, _ = state
+        Rs, Cs, X, lam, nu, it, _ = state
         dp, dX, cost = build_normal_eqs(Rs, Cs, X, lam)
         if not optimize_structure:
             dX = jnp.zeros_like(X)
@@ -225,17 +248,31 @@ def refine(
         accept = new_cost < cost
         rel_improve = (cost - new_cost) / jnp.maximum(cost, 1e-12)
         done = accept & (rel_improve < opts.tolerance * 10.0 + 1e-6)
+        # parameter tolerance (Ceres semantics): a step below the relative
+        # floor can't move the solution meaningfully whether accepted or
+        # rejected (more damping only shrinks it further) — converged.
+        step_norm = jnp.sqrt(jnp.sum(dp * dp) + jnp.sum(dX * dX))
+        state_norm = jnp.sqrt(
+            jnp.sum(Cs * Cs) + jnp.sum(X * X) + Rs.shape[0]
+        )
+        done = done | (step_norm <= _STEP_TOL * (state_norm + _STEP_TOL))
         Rs = jnp.where(accept, Rn, Rs)
         Cs = jnp.where(accept, Cn, Cs)
         X = jnp.where(accept, Xn, X)
+        # Nielsen-style escalation: consecutive rejections raise lam by a
+        # DOUBLING factor (4, 8, 16, ...) so a stalled solver reaches the
+        # heavily-damped regime in a handful of steps, not ~14.
         lam_new = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
-                            jnp.minimum(lam * 4.0, 1e4))
-        done = done | (lam_new >= 1e4)  # step rejection exhausted
-        return (Rs, Cs, X, lam_new, it + 1, done)
+                            jnp.minimum(lam * nu, 1e8))
+        nu = jnp.where(accept, jnp.float32(4.0), jnp.minimum(nu * 2.0, 1e4))
+        done = done | (lam_new >= 1e8)  # step rejection exhausted
+        return (Rs, Cs, X, lam_new, nu, it + 1, done)
 
     init = (problem.Rs, problem.Cs, problem.X, jnp.float32(1e-3),
-            jnp.int32(0), jnp.asarray(False))
-    Rs, Cs, X, _lam, _it, _done = jax.lax.while_loop(lm_cond, lm_body, init)
+            jnp.float32(4.0), jnp.int32(0), jnp.asarray(False))
+    Rs, Cs, X, _lam, _nu, _it, _done = jax.lax.while_loop(
+        lm_cond, lm_body, init
+    )
 
     # ---- covariance at the solution (undamped Schur complement inverse) ----
     cov = _pose_covariance(
@@ -347,11 +384,11 @@ def refine_pose_only(
         return jnp.sum((r * w[:, None]) ** 2)
 
     def lm_cond(state):
-        _, _, _, it, done = state
+        _, _, _, _, _, it, done = state
         return (it < opts.max_iterations) & ~done
 
     def lm_body(state):
-        R, C, lam, it, _ = state
+        R, C, lam, nu, g0_norm, it, _ = state
         J, r = jac_res(R, C)
         res_sq = jnp.sum(r * r, axis=-1)
         w = _huber_weights(res_sq, delta_sq) * mask_f
@@ -360,7 +397,10 @@ def refine_pose_only(
         cost = jnp.sum(rw * rw)
         U = jnp.einsum("lri,lrj->ij", Jw, Jw)          # (6, 6)
         g = -jnp.einsum("lri,lr->i", Jw, rw)           # (6,)
-        U_d = U + lam * jnp.eye(6)
+        # Marquardt scaling (see refine()): damping must be RELATIVE to the
+        # Hessian diagonal (~1e6-1e8 here) or rejections never damp.
+        dU = jnp.clip(jnp.diag(U), _DIAG_MIN, _DIAG_MAX)
+        U_d = U + lam * jnp.diag(dU)
         # 6x6 damped solve: Cholesky with a tiny jitter (U_d is PD by damping)
         cf = jax.scipy.linalg.cho_factor(U_d + 1e-12 * jnp.eye(6))
         dp = jax.scipy.linalg.cho_solve(cf, g)
@@ -371,15 +411,34 @@ def refine_pose_only(
         accept = new_cost < cost
         rel_improve = (cost - new_cost) / jnp.maximum(cost, 1e-12)
         done = accept & (rel_improve < opts.tolerance * 10.0 + 1e-6)
+        # gradient tolerance: at a (local) optimum g -> f32 rounding noise
+        # regardless of residual size; relative to the FIRST iteration's
+        # gradient. Fires immediately on already-converged inputs — the
+        # common case when P3P + inlier re-fit hands over a tight pose.
+        g_norm = jnp.max(jnp.abs(g))
+        g0_norm = jnp.where(it == 0, g_norm, g0_norm)
+        done = done | (g_norm <= 1e-6 * g0_norm + 1e-12)
+        # parameter tolerance (Ceres semantics): step below the relative
+        # floor -> converged whether accepted or rejected.
+        step_norm = jnp.sqrt(jnp.sum(dp * dp))
+        done = done | (
+            step_norm
+            <= _STEP_TOL * (jnp.sqrt(jnp.sum(C * C) + 1.0) + _STEP_TOL)
+        )
         R = jnp.where(accept, Rn, R)
         C = jnp.where(accept, Cn, C)
+        # Nielsen-style escalation (see refine())
         lam_new = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
-                            jnp.minimum(lam * 4.0, 1e4))
-        done = done | (lam_new >= 1e4)  # step rejection exhausted
-        return (R, C, lam_new, it + 1, done)
+                            jnp.minimum(lam * nu, 1e8))
+        nu = jnp.where(accept, jnp.float32(4.0), jnp.minimum(nu * 2.0, 1e4))
+        done = done | (lam_new >= 1e8)  # step rejection exhausted
+        return (R, C, lam_new, nu, g0_norm, it + 1, done)
 
-    init = (R0, C0, jnp.float32(1e-3), jnp.int32(0), jnp.asarray(False))
-    R, C, _lam, _it, _done = jax.lax.while_loop(lm_cond, lm_body, init)
+    init = (R0, C0, jnp.float32(1e-3), jnp.float32(4.0), jnp.float32(0.0),
+            jnp.int32(0), jnp.asarray(False))
+    R, C, _lam, _nu, _g0, _it, _done = jax.lax.while_loop(
+        lm_cond, lm_body, init
+    )
 
     # covariance + rmse at the solution (undamped; PSD-robust inverse once)
     J, r = jac_res(R, C)
