@@ -146,9 +146,30 @@ def topk_keypoints(
 #   - the image border (3 px, matching fast_score_map's `inb` mask) is zeroed
 #     IN-KERNEL before NMS so border scores can't suppress interior peaks.
 
-_TH = 64    # output tile rows
-_TW = 256   # output tile cols (lanes: multiple of 128)
+_TH = 128   # output tile rows
+_TW = 256   # default output tile cols (lanes: multiple of 128)
 _HALO = 4   # 3 (ring radius) + 1 (NMS neighborhood)
+
+
+def _tile_cols(w: int) -> int:
+    """Output-tile lane width for an image of width w.
+
+    The halo recompute tax is (TW + 128) / TW in the lane dimension, so
+    wider tiles do proportionally less redundant work (256 -> 1.5x,
+    512 -> 1.25x lane overhead). The ceiling keeps the peak VMEM residency
+    bounded: Mosaic holds ~47 window-sized f32 intermediates live through
+    the cascade (measured from a scoped-vmem OOM report: 19.82 MB at a
+    136x768 window against the 16 MB limit), so candidate widths are
+    filtered to (TH + 8) * (tw + 128) <= 79k window elements (~15 MB)."""
+    best_tw, best_work = 128, None
+    for tw in (128, 256, 384, 512, 640):
+        if (_TH + 2 * _HALO) * (tw + 128) > 79_000 and tw != 128:
+            continue
+        wp = ((w + tw - 1) // tw) * tw
+        work = (wp // tw) * (tw + 128)  # lane columns actually processed
+        if best_work is None or work < best_work:
+            best_tw, best_work = tw, work
+    return best_tw
 
 
 def _win_roll(a, d, axis):
@@ -158,9 +179,10 @@ def _win_roll(a, d, axis):
     return pltpu.roll(a, (-d) % a.shape[axis], axis)
 
 
-def _make_fast_nms_kernel(h: int, w: int, nj: int):
-    """Kernel closure over static image dims (for the in-kernel border mask)
-    and the lane-dim grid extent (for double-buffer lookahead)."""
+def _make_fast_nms_kernel(h: int, w: int, nj: int, tw: int):
+    """Kernel closure over static image dims (for the in-kernel border mask),
+    the lane-dim grid extent (for double-buffer lookahead), and the tile
+    width chosen by _tile_cols."""
 
     def kernel(img_hbm, thresh_ref, raw_ref, score_ref, win2, sem2):
         i = pl.program_id(0)
@@ -172,7 +194,7 @@ def _make_fast_nms_kernel(h: int, w: int, nj: int):
         def window_copy(si, sj, s):
             return pltpu.make_async_copy(
                 img_hbm.at[pl.ds(si * _TH, _TH + 2 * _HALO),
-                           pl.ds(sj * _TW, _TW + 128)],
+                           pl.ds(sj * tw, tw + 128)],
                 win2.at[s],
                 sem2.at[s],
             )
@@ -228,12 +250,12 @@ def _make_fast_nms_kernel(h: int, w: int, nj: int):
         # border scores the XLA reference path zeroes before nms3
         wh, ww = score.shape
         gy = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + i * _TH - _HALO
-        gx = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + j * _TW - _HALO
+        gx = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + j * tw - _HALO
         inb = (gy >= 3) & (gy < h - 3) & (gx >= 3) & (gx < w - 3)
         score = jnp.where(inb, score, 0.0)
 
         # window coords: out pixel (r, c) of this tile = score[r + 4, c + 4]
-        raw_ref[:, :] = score[_HALO : _HALO + _TH, _HALO : _HALO + _TW]
+        raw_ref[:, :] = score[_HALO : _HALO + _TH, _HALO : _HALO + tw]
 
         # 3x3 NMS with earlier-raster tie-break, still full-window
         srows = {dy: (_win_roll(score, dy, 0) if dy else score)
@@ -248,7 +270,7 @@ def _make_fast_nms_kernel(h: int, w: int, nj: int):
                               jnp.maximum(neigh[2], neigh[3]))
         keep = (score >= neigh_max) & (earlier < score)
         nms = jnp.where(keep, score, 0.0)
-        score_ref[:, :] = nms[_HALO : _HALO + _TH, _HALO : _HALO + _TW]
+        score_ref[:, :] = nms[_HALO : _HALO + _TH, _HALO : _HALO + tw]
 
     return kernel
 
@@ -262,27 +284,28 @@ def fast_nms_pallas(image: jnp.ndarray, threshold, interpret: bool = False):
     3-px border zeroed (before NMS, like the XLA path).
     """
     h, w = image.shape
+    tw = _tile_cols(w)
     hp = ((h + _TH - 1) // _TH) * _TH
-    wp = ((w + _TW - 1) // _TW) * _TW
+    wp = ((w + tw - 1) // tw) * tw
     padded = jnp.pad(
         image,
         ((_HALO, _HALO + hp - h), (_HALO, (128 - _HALO) + wp - w)),
         mode="edge",
     )
     thresh = jnp.asarray([threshold], jnp.float32)
-    nj = wp // _TW
+    nj = wp // tw
 
     raw, score = pl.pallas_call(
-        _make_fast_nms_kernel(h, w, nj),
+        _make_fast_nms_kernel(h, w, nj, tw),
         grid=(hp // _TH, nj),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_TH, _TW), lambda i, j: (i, j),
+            pl.BlockSpec((_TH, tw), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TH, _TW), lambda i, j: (i, j),
+            pl.BlockSpec((_TH, tw), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -290,7 +313,7 @@ def fast_nms_pallas(image: jnp.ndarray, threshold, interpret: bool = False):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, _TH + 2 * _HALO, _TW + 128), jnp.float32),
+            pltpu.VMEM((2, _TH + 2 * _HALO, tw + 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
