@@ -200,28 +200,50 @@ def symmetric_epipolar_distance_sq(
 def symmetric_epipolar_distance_sq_batch(
     Es: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray,
     s1_sq: float = 1.0, s2_sq: float = 1.0,
+    precision=None,
 ) -> jnp.ndarray:
     """All-models symmetric epipolar distances -> (Hm, M) in one shot.
 
     Identical values (to f32 rounding) to vmapping
-    symmetric_epipolar_distance_sq over Es, but the per-model h @ E.T
-    contractions become two (M, 3) x (3, 3*Hm) matmuls — the vmapped form
-    lowers to Hm tiny K=3 contractions, which dominate batched-RANSAC
-    scoring cost on TPU (see ransac.ransac's batch_scorer).
+    symmetric_epipolar_distance_sq over Es, expressed as pure quadratic
+    forms so NO (M, Hm, 3) intermediate is ever materialized (at Hm=7680,
+    M=1024 those were 2 x 94 MB of HBM traffic — the dominant cost of
+    batched-RANSAC scoring):
+      numerator  (h2^T E h1)^2      = ((h2 (x) h1) . vec(E))^2
+      den img2   ||(E h1)_xy||^2    = h1^T (r0 r0^T + r1 r1^T) h1
+      den img1   ||(E^T h2)_xy||^2  = h2^T (c0 c0^T + c1 c1^T) h2
+    i.e. three (M, 9) x (9, Hm) matmuls + an elementwise epilogue. The
+    quadratic-form denominators can round to tiny NEGATIVE values where the
+    true denominator ~ 0 (epipole on the point); clamped from below.
+
+    precision: matmul precision for the three contractions. None inherits
+    the library-wide HIGHEST (f32-exact, ~6 MXU passes per f32 matmul on
+    TPU). Pass jax.lax.Precision.DEFAULT for single-pass bf16 matmuls when
+    the residuals only feed a RANKING (RANSAC candidate pre-rank) — ~0.4%
+    relative error, never for inlier classification or NFA scores.
     """
     Hm = Es.shape[0]
+    M = x1.shape[0]
     h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)  # (M, 3)
     h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
-    # W1[d, m*3+k] = E[m, k, d]  ->  (h1 @ W1)[l, m, k] = (E_m h1_l)_k
-    W1 = Es.transpose(2, 0, 1).reshape(3, Hm * 3)
-    # W2[d, m*3+k] = E[m, d, k]  ->  (h2 @ W2)[l, m, k] = (E_m^T h2_l)_k
-    W2 = Es.transpose(1, 0, 2).reshape(3, Hm * 3)
-    Ex1 = (h1 @ W1).reshape(-1, Hm, 3)    # (M, Hm, 3)
-    Etx2 = (h2 @ W2).reshape(-1, Hm, 3)
-    num = jnp.sum(h2[:, None, :] * Ex1, axis=-1) ** 2       # (M, Hm)
-    d_img2 = num / (Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + 1e-12)
-    d_img1 = num / (Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2 + 1e-12)
-    return (s2_sq * d_img2 + s1_sq * d_img1).T              # (Hm, M)
+    O = (h2[:, :, None] * h1[:, None, :]).reshape(M, 9)     # h2 (x) h1
+    A = jnp.matmul(Es.reshape(Hm, 9), O.T, precision=precision)  # (Hm, M)
+    num = A * A
+    rows = Es[:, :2, :]                                     # (Hm, 2, 3)
+    S1 = jnp.einsum("had,hak->hdk", rows, rows)             # (Hm, 3, 3)
+    cols = Es[:, :, :2]                                     # (Hm, 3, 2)
+    S2 = jnp.einsum("hda,hka->hdk", cols, cols)             # (Hm, 3, 3)
+    P1 = (h1[:, :, None] * h1[:, None, :]).reshape(M, 9)    # h1 (x) h1
+    P2 = (h2[:, :, None] * h2[:, None, :]).reshape(M, 9)
+    # model-side operands on the LEFT so every matmul lands directly in the
+    # (Hm, M) output layout — no 31 MB physical transpose at the end
+    den2 = jnp.maximum(
+        jnp.matmul(S1.reshape(Hm, 9), P1.T, precision=precision), 1e-12
+    )                                                       # (Hm, M)
+    den1 = jnp.maximum(
+        jnp.matmul(S2.reshape(Hm, 9), P2.T, precision=precision), 1e-12
+    )
+    return s2_sq * num / den2 + s1_sq * num / den1          # (Hm, M)
 
 
 def sampson_distance_sq(E, x1, x2):

@@ -162,6 +162,8 @@ def ransac(
     error_dim: float = 1.0,   # only for scoring="nfa"
     batch_scorer: Callable = None,  # optional (models (Hm,...), data...) ->
                                     # (Hm, M) residuals in one shot
+    rank_scorer: Callable = None,   # optional CHEAP residuals used only for
+                                    # the NFA candidate pre-rank ladder
 ) -> RansacResult:
     """Generic batched RANSAC.
 
@@ -176,6 +178,13 @@ def ransac(
       epilogue) scores the full (Hm, M) matrix ~7x faster. Must agree with
       `scorer` to f32 rounding (the final inlier classification always uses
       `scorer` on the winning model).
+    rank_scorer: optional cheap (e.g. bf16-matmul) all-models scorer used
+      ONLY for the NFA pre-rank ladder. With it, the full-precision
+      residual matrix is computed for just the top-`_NFA_CANDIDATES`
+      models, so exact quantities (NFA scores, adaptive thresholds, inlier
+      sets) never see the cheap arithmetic — it can only perturb WHICH
+      models enter the top-32 (same approximation class as the ladder
+      itself; the pre-rank property test pins winner stability).
 
     scoring="count" ranks models by inliers under the fixed threshold;
     scoring="nfa" ranks by a-contrario NFA with a per-model ADAPTIVE
@@ -217,7 +226,10 @@ def ransac(
         # the true NFA winner ranks below 32 on the ladder counts
         # (tests/test_robust.py pins winner equality against exhaustive NFA
         # across seeds at reference capacity).
-        all_res = score_all(flat_models)                            # (Hm, M)
+        rank_res = (
+            rank_scorer(flat_models, *data) if rank_scorer is not None
+            else score_all(flat_models)
+        )                                                           # (Hm, M)
         # rank = integral of the inlier-count curve over a geometric
         # threshold ladder around the nominal gate. A model must fit tightly
         # AND broadly to rank high — counting at a single loose gate lets
@@ -242,7 +254,7 @@ def ransac(
         # with no winner-quality gain on the property test.
         jmin, jmax = -2, 2
         n_rungs = jmax - jmin + 1
-        v = jnp.log2(jnp.maximum(all_res, 1e-30)) - jnp.log2(
+        v = jnp.log2(jnp.maximum(rank_res, 1e-30)) - jnp.log2(
             jnp.float32(threshold_sq)
         )
         cnt = jnp.clip(
@@ -252,8 +264,16 @@ def ransac(
         rank = jnp.where(flat_valid, rank, -1)
         k_nfa = min(_NFA_CANDIDATES, rank.shape[0])
         _, cand = jax.lax.top_k(rank, k_nfa)
+        # exact (full-precision) residuals for the candidates only
+        cand_models = jax.tree_util.tree_map(
+            lambda a: a[cand], flat_models
+        )
+        cand_res = (
+            score_all(cand_models) if rank_scorer is not None
+            else rank_res[cand]
+        )
         score, thr = nfa_scores(
-            all_res[cand], valid, sample_size, log_alpha0, error_dim,
+            cand_res, valid, sample_size, log_alpha0, error_dim,
         )
         score = jnp.where(flat_valid[cand], score, jnp.inf)
         best_sub = jnp.argmin(score)

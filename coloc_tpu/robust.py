@@ -76,6 +76,12 @@ def relative_pose_essential(
             Es, a1, a2, f1_sq, f2_sq
         )
 
+    def rank_scorer(Es, a1, a2):
+        # bf16 matmuls: feeds only the NFA candidate pre-rank ladder
+        return ess.symmetric_epipolar_distance_sq_batch(
+            Es, a1, a2, f1_sq, f2_sq, precision=jax.lax.Precision.DEFAULT
+        )
+
     # log_alpha0 for point-to-line error in PIXEL units
     A_px = (2.0 * cam1.cx) * (2.0 * cam1.cy)
     D_px = jnp.sqrt((2.0 * cam1.cx) ** 2 + (2.0 * cam1.cy) ** 2)
@@ -84,7 +90,7 @@ def relative_pose_essential(
         sample_size=5, num_hypotheses=opts.num_hypotheses,
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
-        error_dim=1.0, batch_scorer=batch_scorer,
+        error_dim=1.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
     )
 
     R, t = ess.decompose_essential(res.model, x1, x2, res.inliers)
@@ -137,6 +143,12 @@ def relative_pose_fundamental(
     def batch_scorer(Fs, a1, a2):
         return ess.symmetric_epipolar_distance_sq_batch(Fs, a1, a2)
 
+    def rank_scorer(Fs, a1, a2):
+        # bf16 matmuls: feeds only the NFA candidate pre-rank ladder
+        return ess.symmetric_epipolar_distance_sq_batch(
+            Fs, a1, a2, precision=jax.lax.Precision.DEFAULT
+        )
+
     # log_alpha0 for point-to-line error in PIXEL units
     A_px = (2.0 * cam1.cx) * (2.0 * cam1.cy)
     D_px = jnp.sqrt((2.0 * cam1.cx) ** 2 + (2.0 * cam1.cy) ** 2)
@@ -146,7 +158,7 @@ def relative_pose_fundamental(
         threshold_sq=opts.essential_threshold ** 2,
         inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
-        error_dim=1.0, batch_scorer=batch_scorer,
+        error_dim=1.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
     )
     # least-squares re-fit over the inlier set (see essential path)
     F_refit = ess.fundamental_8pt(u1, u2, weights=res.inliers.astype(jnp.float32))
