@@ -279,11 +279,22 @@ def refine_relative_pose(
     """Gauss-Newton on the essential manifold: minimize weighted Sampson error
     over (R in SO(3), t on S^2) — 5 DoF, so planar scenes stay well-posed
     (unlike a linear 8-point re-fit). Plays the role of ACRANSAC's local
-    optimization + the essential part of the reference's later BA polish."""
+    optimization + the essential part of the reference's later BA polish.
+
+    Early-exit while_loop (same rationale as the LM pose refiner in
+    sfm/ba.py): each GN step costs ~7 residual evaluations (jacfwd with 5
+    tangents + the acceptance re-eval), and a typical inlier set converges
+    in 2-3 steps — a fixed 8-step scan burned ~2x the needed latency.
+    Exits on step rejection (undamped GN would re-derive the same rejected
+    step forever), a tiny step, or a relatively tiny cost improvement."""
     from coloc_tpu.geometry import so3 as so3_ops
 
-    def step(carry, _):
-        R, t = carry
+    def cond(carry):
+        _, _, it, done = carry
+        return (it < iters) & ~done
+
+    def body(carry):
+        R, t, it, _ = carry
         B = _tangent_basis(t)
 
         def resid(p):
@@ -310,9 +321,16 @@ def refine_relative_pose(
         better = c_new < c_old
         R_out = jnp.where(better, R_new, R)
         t_out = jnp.where(better, t_new, t)
-        return (R_out, t_out), None
+        done = (
+            ~better
+            | (jnp.sum(p * p) < 1e-12)                 # |step| < 1e-6
+            | (c_old - c_new < 1e-7 * (c_old + 1e-20))  # relative stall
+        )
+        return (R_out, t_out, it + 1, done)
 
-    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    R, t, _, _ = jax.lax.while_loop(
+        cond, body, (R, t, jnp.int32(0), jnp.bool_(False))
+    )
     return R, t
 
 

@@ -59,6 +59,32 @@ def transfer_error_sq(H: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.n
     return jnp.where(bad, 1e12, err)
 
 
+def transfer_error_sq_batch(
+    Hs: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, precision=None
+) -> jnp.ndarray:
+    """All-models forward transfer errors -> (Hm, M) in one shot.
+
+    Division-cleared form of transfer_error_sq (same values to f32
+    rounding): with [u, v, w] = H h1,
+      err = ((u - x2x w)^2 + (v - x2y w)^2) / w^2
+    so each projective coordinate plane is one (Hm, 3) x (3, M) matmul —
+    model side on the LEFT so the result lands directly in (Hm, M) layout
+    (no (M, Hm, 3) intermediate; same scheme as the batched epipolar / P3P
+    scorers). precision=jax.lax.Precision.DEFAULT gives single-pass bf16
+    matmuls for ladder RANKING only.
+    """
+    h1t = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1).T  # (3, M)
+    U = jnp.matmul(Hs[:, 0], h1t, precision=precision)  # (Hm, M)
+    V = jnp.matmul(Hs[:, 1], h1t, precision=precision)
+    W = jnp.matmul(Hs[:, 2], h1t, precision=precision)
+    bad = jnp.abs(W) < 1e-9
+    Wc = jnp.where(bad, 1.0, W)
+    du = U - x2[:, 0][None, :] * W
+    dv = V - x2[:, 1][None, :] * W
+    err = (du * du + dv * dv) / (Wc * Wc)
+    return jnp.where(bad, 1e12, err)
+
+
 def decompose_homography(
     H: jnp.ndarray,
     x1: jnp.ndarray,

@@ -186,31 +186,41 @@ def _p3p_batch_residuals(
     Xw: jnp.ndarray,        # (M, 3)
     bearings: jnp.ndarray,  # (M, 3)
     focal: jnp.ndarray,
+    precision=None,
 ) -> jnp.ndarray:
-    """All-models P3P reprojection residuals as ONE matmul + epilogue, (Hm, M).
+    """All-models P3P reprojection residuals as 3 matmuls + epilogue, (Hm, M).
 
     vmap of the per-model scorer lowers the camera transform to Hm tiny K=3
     contractions (~0.17 ms at Hm=1024, M=1024 — the single biggest slice of
-    the per-frame P3P budget); instead:
-      Xc[m, l] = R_m (X_l - C_m) = X_l . R_m^T - R_m C_m
-    so every model's rotated coordinates come from one (M, 3) x (3, 3*Hm)
-    dot (MXU), with the per-model translation R_m C_m broadcast-subtracted.
+    the per-frame P3P budget); instead, with t_m = R_m C_m and the residual
+    cleared of the per-element division:
+      err = f^2 ((Xc_x - ox z)^2 + (Xc_y - oy z)^2) / z^2,
+      Xc_k[m, l] = [X_l, -1] . [rowk(R_m), t_mk]
+    so each camera-frame coordinate plane is one (Hm, 4) x (4, M) matmul —
+    model side on the LEFT so the result lands directly in the (Hm, M)
+    output layout (no (M, Hm, 3) intermediate, no final transpose).
     Values match the per-model scorer to f32 rounding
     (tests/test_robust.py::TestBatchScorerParity pins this).
+
+    precision: None inherits the library-wide HIGHEST; pass
+    jax.lax.Precision.DEFAULT for single-pass bf16 matmuls when the
+    residuals only feed the RANSAC pre-rank ladder.
     """
     Hm = flats.shape[0]
     R = flats[:, :9].reshape(Hm, 3, 3)
     C = flats[:, 9:]
-    W = R.transpose(2, 0, 1).reshape(3, Hm * 3)       # W[d, m*3+k] = R[m,k,d]
-    Y = (Xw @ W).reshape(-1, Hm, 3)                   # (M, Hm, 3)
     t = jnp.einsum("mkd,md->mk", R, C)                # (Hm, 3) = R_m C_m
-    Xc = Y - t[None, :, :]                            # (M, Hm, 3)
-    z = Xc[..., 2]
-    proj = Xc[..., :2] / jnp.maximum(z, 1e-9)[..., None]
-    obs = bearings[:, :2] / jnp.maximum(bearings[:, 2:3], 1e-9)
-    err = jnp.sum((proj - obs[:, None, :]) ** 2, axis=-1)
-    err = err * focal ** 2
-    return jnp.where(z <= 0, 1e12, err).T             # (Hm, M)
+    E = jnp.concatenate([R, t[:, :, None]], axis=2)   # (Hm, 3, 4)
+    Xh = jnp.concatenate([Xw, -jnp.ones_like(Xw[:, :1])], axis=-1).T  # (4, M)
+    A0 = jnp.matmul(E[:, 0], Xh, precision=precision)  # (Hm, M) = Xc_x
+    A1 = jnp.matmul(E[:, 1], Xh, precision=precision)  # Xc_y
+    Z = jnp.matmul(E[:, 2], Xh, precision=precision)   # Xc_z
+    obs = bearings[:, :2] / jnp.maximum(bearings[:, 2:3], 1e-9)  # (M, 2)
+    u = A0 - obs[:, 0][None, :] * Z
+    v = A1 - obs[:, 1][None, :] * Z
+    zc = jnp.maximum(Z, 1e-9)
+    err = (u * u + v * v) / (zc * zc) * focal ** 2
+    return jnp.where(Z <= 0, 1e12, err)               # (Hm, M)
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -251,13 +261,20 @@ def absolute_pose_p3p(
     def batch_scorer(flats, Xw, bearings):
         return _p3p_batch_residuals(flats, Xw, bearings, _mean_focal(cam))
 
+    def rank_scorer(flats, Xw, bearings):
+        # bf16 matmuls: feeds only the NFA candidate pre-rank ladder
+        return _p3p_batch_residuals(
+            flats, Xw, bearings, _mean_focal(cam),
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
     res = ransac(
         key, (X_world, b), mask, solver, scorer,
         sample_size=3, num_hypotheses=opts.num_hypotheses,
         threshold_sq=opts.p3p_threshold ** 2,
         inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=_point_log_alpha0(cam),
-        error_dim=2.0, batch_scorer=batch_scorer,
+        error_dim=2.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
     )
     pose = Pose(R=res.model[:9].reshape(3, 3), C=res.model[9:])
     return pose, res.inliers, res.n_inliers, res.success
@@ -289,6 +306,15 @@ def relative_pose_homography(
     def scorer(H, a1, a2):
         return f2_sq * homog.transfer_error_sq(H, a1, a2)
 
+    def batch_scorer(Hs, a1, a2):
+        return f2_sq * homog.transfer_error_sq_batch(Hs, a1, a2)
+
+    def rank_scorer(Hs, a1, a2):
+        # bf16 matmuls: feeds only the NFA candidate pre-rank ladder
+        return f2_sq * homog.transfer_error_sq_batch(
+            Hs, a1, a2, precision=jax.lax.Precision.DEFAULT
+        )
+
     # log_alpha0 for POINT transfer error in image-2 PIXEL units
     A_px = (2.0 * cam2.cx) * (2.0 * cam2.cy)
     res = ransac(
@@ -296,7 +322,7 @@ def relative_pose_homography(
         sample_size=4, num_hypotheses=opts.num_hypotheses,
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(jnp.pi / A_px),
-        error_dim=2.0,
+        error_dim=2.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
     )
     # least-squares re-fit over the inlier set before decomposition (the
     # minimal 4-point H limits translation-direction accuracy; same

@@ -19,7 +19,7 @@ from coloc_tpu.robust import absolute_pose_p3p, _mean_focal, _point_log_alpha0
 
 M = 1024          # correspondences (matched keypoints)
 B = 256           # hypothesis budget
-ITERS = 600
+ITERS = int(__import__('os').environ.get('COLOC_BENCH_ITERS', '600'))
 W, H = 752, 480
 
 

@@ -478,3 +478,21 @@ class TestBatchScorerParity:
         keep = (want < 1e11) & (got < 1e11)  # same behind-camera set
         np.testing.assert_array_equal(want < 1e11, got < 1e11)
         np.testing.assert_allclose(got[keep], want[keep], rtol=3e-4, atol=1e-3)
+
+    def test_homography_batch_scorer_matches_vmap(self, rng):
+        from coloc_tpu.geometry import homography as homog
+
+        Hm, M = 31, 113
+        Hs = jnp.asarray(rng.normal(size=(Hm, 3, 3)), jnp.float32)
+        Hs = Hs.at[:, 2, 2].set(1.0 + jnp.abs(Hs[:, 2, 2]))
+        x1 = jnp.asarray(rng.normal(size=(M, 2)), jnp.float32)
+        x2 = jnp.asarray(rng.normal(size=(M, 2)), jnp.float32)
+        want = np.asarray(jax.vmap(
+            lambda H: homog.transfer_error_sq(H, x1, x2)
+        )(Hs))
+        got = np.asarray(homog.transfer_error_sq_batch(Hs, x1, x2))
+        keep = (want < 1e11) & (got < 1e11)  # same degenerate-w set
+        np.testing.assert_array_equal(want < 1e11, got < 1e11)
+        # division-cleared form: same cancellation caveat as the epipolar
+        # batch scorer (error concentrates on huge far-outlier residuals)
+        np.testing.assert_allclose(got[keep], want[keep], rtol=2e-3, atol=1e-4)
