@@ -29,6 +29,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from coloc_tpu.ops.dispatch import interpret_mode, use_pallas
 
 
 class _Poly:
@@ -291,12 +294,15 @@ def _gj_tail(M: jnp.ndarray) -> jnp.ndarray:
     return Mw[:, 10:]
 
 
-def five_point(
-    x1: jnp.ndarray, x2: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """5 correspondences (5,2)+(5,2) -> (30, 3, 3) E candidates + (30,)
-    valid (10 polynomial roots x 3 split seeds; see the split-seed note
-    below)."""
+def _reduced_system(x1: jnp.ndarray, x2: jnp.ndarray):
+    """Shared trace: minimal sample -> everything the polish needs.
+
+    Returns (basis (4,3,3), M (10,20), MD (40,20), polys, roots (10,),
+    is_real (10,)) where polys = (Pk, Qk, Pl, Ql, Pm, Qm, Rk, Rl, Rm) are
+    the ascending z-polynomials of Nistér's <k>,<l>,<m> reduced equations
+    (P, Q deg-3 -> 4 coeffs; R deg-4 -> 5 coeffs) and MD stacks the
+    constraint matrix with its three differentiation products
+    (rows 0:10 = M, rows 10+10a:20+10a = M @ D_a)."""
     basis = _null_basis(x1, x2)
     M = _constraint_matrix(basis)  # (10, 20)
 
@@ -334,6 +340,18 @@ def five_point(
     MD = jnp.concatenate(
         [M] + [M @ _DIFF_MATS[a] for a in range(3)], axis=0
     )  # (40, 20), computed once per minimal sample
+    polys = (Pk, Qk, Pl, Ql, Pm, Qm, Rk, Rl, Rm)
+    return basis, M, MD, polys, roots, is_real
+
+
+def five_point(
+    x1: jnp.ndarray, x2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """5 correspondences (5,2)+(5,2) -> (30, 3, 3) E candidates + (30,)
+    valid (10 polynomial roots x 3 split seeds; see the split-seed note
+    below)."""
+    basis, M, MD, polys, roots, is_real = _reduced_system(x1, x2)
+    Pk, Qk, Pl, Ql, Pm, Qm, Rk, Rl, Rm = polys
 
     def monomials(xyz):
         """All 20 monomials from cached power chains — no pow ops.
@@ -440,4 +458,178 @@ def five_point(
     return Es, jnp.tile(is_real, 3) & converged
 
 
-five_point_batch = jax.vmap(five_point)
+# ---------------------------------------------------------------------------
+# Batched entry with a Pallas polish kernel
+# ---------------------------------------------------------------------------
+#
+# The root -> E tail (Horner evals, 2x2 solve, 3 GN steps, certificate, E
+# normalization) is the solver's latency long pole under vmap: XLA lowers it
+# to hundreds of small sequential fusions plus tiny batched matmuls, each
+# paying HBM round trips (~0.55 ms of the ~0.95 ms batched solver at B=256).
+# The Pallas kernel below runs the whole tail in VMEM over a
+# (seed-rows=32, hypothesis-lanes) block — one launch, no intermediate HBM.
+
+_SEED_ROWS = 32   # 30 seeds padded to the f32 sublane multiple
+_LANE_TILE = 128  # hypotheses per grid step
+
+
+def _polish_kernel(md_ref, coef_ref, basis_ref, seeds_ref, valid_ref,
+                   es_ref, val_ref):
+    z = seeds_ref[...]                                # (32, T)
+    f32 = z.dtype
+
+    def c(i):  # per-hypothesis scalar row -> broadcast over seed rows
+        return coef_ref[i][None, :]
+
+    def ev4(o):  # ascending deg-3 poly at coef rows o..o+3
+        return ((c(o + 3) * z + c(o + 2)) * z + c(o + 1)) * z + c(o)
+
+    def ev5(o):  # ascending deg-4 poly
+        return (((c(o + 4) * z + c(o + 3)) * z + c(o + 2)) * z
+                + c(o + 1)) * z + c(o)
+
+    # least-squares (x, y) from the three reduced equations (2x2 normal
+    # solve) — identical constants to the XLA path
+    a00, a01 = ev4(0), ev4(4)
+    a10, a11 = ev4(8), ev4(12)
+    a20, a21 = ev4(16), ev4(20)
+    b0, b1, b2 = -ev5(24), -ev5(29), -ev5(34)
+    AtA00 = a00 * a00 + a10 * a10 + a20 * a20 + 1e-12
+    AtA01 = a00 * a01 + a10 * a11 + a20 * a21
+    AtA11 = a01 * a01 + a11 * a11 + a21 * a21 + 1e-12
+    Atb0 = a00 * b0 + a10 * b1 + a20 * b2
+    Atb1 = a01 * b0 + a11 * b1 + a21 * b2
+    det2 = AtA00 * AtA11 - AtA01 * AtA01
+    det2 = jnp.where(jnp.abs(det2) < 1e-20, 1e-20, det2)
+    x = (AtA11 * Atb0 - AtA01 * Atb1) / det2
+    y = (AtA00 * Atb1 - AtA01 * Atb0) / det2
+
+    md = md_ref[...]                                  # (40, 20, T)
+
+    def mono20(x, y, z):
+        one = jnp.ones_like(x)
+        px = [one, x, x * x, x * x * x]
+        py = [one, y, y * y, y * y * y]
+        pz = [one, z, z * z, z * z * z]
+        return [px[i] * py[j] * pz[k] for (i, j, k) in _MONOMIALS]
+
+    def contract(sub, mono):
+        """sum_k md[sub, k, :] (x) mono[k] -> (rows, 32, T); `sub` is a
+        STATIC slice (dynamic row gathers don't vectorize in Mosaic)."""
+        acc = md[sub, 0, :][:, None, :] * mono[0][None]
+        for k in range(1, 20):
+            acc = acc + md[sub, k, :][:, None, :] * mono[k][None]
+        return acc
+
+    # 5 GN steps (vs 3 on the XLA path): in VMEM an extra step costs ~8 us
+    # for the whole batch — the latency argument that capped the XLA path
+    # at 3 does not apply, and marginal planar-twin samples measurably
+    # benefit (the interpret-mode parity test pins per-sample capture)
+    for _ in range(5):
+        mono = mono20(x, y, z)
+        rj = contract(slice(None), mono)              # (40, 32, T)
+        r = rj[0:10]
+        Jx, Jy, Jz = rj[10:20], rj[20:30], rj[30:40]
+        # JtJ (symmetric 3x3) + 1e-9 I, Jtr — same constants as XLA path
+        Axx = jnp.sum(Jx * Jx, axis=0) + 1e-9
+        Axy = jnp.sum(Jx * Jy, axis=0)
+        Axz = jnp.sum(Jx * Jz, axis=0)
+        Ayy = jnp.sum(Jy * Jy, axis=0) + 1e-9
+        Ayz = jnp.sum(Jy * Jz, axis=0)
+        Azz = jnp.sum(Jz * Jz, axis=0) + 1e-9
+        gx = jnp.sum(Jx * r, axis=0)
+        gy = jnp.sum(Jy * r, axis=0)
+        gz = jnp.sum(Jz * r, axis=0)
+        # closed-form adjugate solve (solve3 parity)
+        c00 = Ayy * Azz - Ayz * Ayz
+        c01 = Ayz * Axz - Axy * Azz
+        c02 = Axy * Ayz - Ayy * Axz
+        det = Axx * c00 + Axy * c01 + Axz * c02
+        det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        dx = (c00 * gx + c01 * gy + c02 * gz) / det
+        dy = (c01 * gx + (Axx * Azz - Axz * Axz) * gy
+              + (Axz * Axy - Axx * Ayz) * gz) / det
+        dz = (c02 * gx + (Axz * Axy - Axx * Ayz) * gy
+              + (Axx * Ayy - Axy * Axy) * gz) / det
+        x, y, z = x - dx, y - dy, z - dz
+
+    # convergence certificate on the final point (rows 0:10 of MD = M)
+    mono = mono20(x, y, z)
+    rf = contract(slice(0, 10), mono)                 # (10, 32, T)
+    maxr = jnp.max(jnp.abs(rf), axis=0)
+    scale = 1.0 + (x * x + y * y + z * z) ** 1.5
+    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
+    conv = finite & (maxr < 1e-3 * scale)
+
+    def bs(i):
+        return basis_ref[i][None, :]
+
+    E = [x * bs(k) + y * bs(9 + k) + z * bs(18 + k) + bs(27 + k)
+         for k in range(9)]
+    nrm = jnp.sqrt(sum(e * e for e in E))
+    nrm = jnp.where(nrm < 1e-12, 1e-12, nrm)
+    es_ref[...] = jnp.stack([e / nrm for e in E])     # (9, 32, T)
+    val_ref[...] = (valid_ref[...] * conv.astype(f32))
+
+
+def _five_point_batch_pallas(
+    x1: jnp.ndarray, x2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,5,2)x2 -> ((B,30,3,3), (B,30)); XLA front (QR, GJ, DK) + Pallas
+    polish tail. Same per-seed arithmetic/constants as five_point."""
+    B = x1.shape[0]
+    basis, M, MD, polys, roots, is_real = jax.vmap(_reduced_system)(x1, x2)
+    delta = 0.01 * (jnp.abs(roots) + 1.0)
+    seeds = jnp.concatenate(
+        [roots, roots + delta, roots - delta], axis=1
+    )  # (B, 30)
+    svalid = jnp.tile(is_real, (1, 3)).astype(jnp.float32)
+
+    Bp = -(-B // _LANE_TILE) * _LANE_TILE  # pad hypotheses to the lane tile
+
+    def pad_b(a):
+        return jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+
+    # kernel operand layouts: hypothesis axis LAST (lanes)
+    mdT = pad_b(MD).transpose(1, 2, 0)                       # (40, 20, Bp)
+    coef = jnp.concatenate(list(polys), axis=1)              # (B, 39)
+    coefT = jnp.pad(pad_b(coef), ((0, 0), (0, 1))).T         # (40, Bp)
+    basisT = pad_b(basis.reshape(B, 36)).T                   # (36, Bp)
+    seedsT = jnp.pad(pad_b(seeds), ((0, 0), (0, 2))).T       # (32, Bp)
+    validT = jnp.pad(pad_b(svalid), ((0, 0), (0, 2))).T      # (32, Bp)
+
+    grid = (Bp // _LANE_TILE,)
+    T = _LANE_TILE
+    es, val = pl.pallas_call(
+        _polish_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((40, 20, T), lambda i: (0, 0, i)),
+            pl.BlockSpec((40, T), lambda i: (0, i)),
+            pl.BlockSpec((36, T), lambda i: (0, i)),
+            pl.BlockSpec((_SEED_ROWS, T), lambda i: (0, i)),
+            pl.BlockSpec((_SEED_ROWS, T), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, _SEED_ROWS, T), lambda i: (0, 0, i)),
+            pl.BlockSpec((_SEED_ROWS, T), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, _SEED_ROWS, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((_SEED_ROWS, Bp), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(mdT, coefT, basisT, seedsT, validT)
+
+    Es = es[:, :30, :B].transpose(2, 1, 0).reshape(B, 30, 3, 3)
+    valid = val[:30, :B].T > 0.5
+    return Es, valid
+
+
+def five_point_batch(
+    x1: jnp.ndarray, x2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched 5-point solver: (B,5,2)x2 -> ((B,30,3,3), (B,30))."""
+    if use_pallas() or interpret_mode():
+        return _five_point_batch_pallas(x1, x2)
+    return jax.vmap(five_point)(x1, x2)

@@ -164,6 +164,9 @@ def ransac(
                                     # (Hm, M) residuals in one shot
     rank_scorer: Callable = None,   # optional CHEAP residuals used only for
                                     # the NFA candidate pre-rank ladder
+    batch_solver: Callable = None,  # optional all-samples solver:
+                                    # (gathered data (B, S, ...)) ->
+                                    # (models (B, H, ...), valid (B, H))
 ) -> RansacResult:
     """Generic batched RANSAC.
 
@@ -196,7 +199,14 @@ def ransac(
     idx = sample_indices(key, valid, num_hypotheses, sample_size)  # (B, S)
 
     gathered = tuple(jax.tree_util.tree_map(lambda a: a[idx], d) for d in data)
-    models, model_valid = jax.vmap(solver)(*gathered)  # leaves (B, H, ...), (B, H)
+    # batch_solver (when provided) may use a hand-batched kernel (e.g. the
+    # 5-point Pallas polish); it must emit the same models as vmap(solver)
+    # up to which member of a converged solution pair a marginal seed lands
+    # on (tests/test_robust.py pins per-sample solution capture)
+    if batch_solver is not None:
+        models, model_valid = batch_solver(*gathered)
+    else:
+        models, model_valid = jax.vmap(solver)(*gathered)  # (B, H, ...), (B, H)
 
     flat_models = jax.tree_util.tree_map(
         lambda a: a.reshape((-1,) + a.shape[2:]), models

@@ -91,6 +91,7 @@ def relative_pose_essential(
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
         error_dim=1.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
+        batch_solver=fivept.five_point_batch,
     )
 
     R, t = ess.decompose_essential(res.model, x1, x2, res.inliers)

@@ -479,6 +479,42 @@ class TestBatchScorerParity:
         np.testing.assert_array_equal(want < 1e11, got < 1e11)
         np.testing.assert_allclose(got[keep], want[keep], rtol=3e-4, atol=1e-3)
 
+    def test_five_point_pallas_captures_vmap_solutions(self, rng):
+        """The Pallas polish kernel (production TPU batch path, exercised
+        here in interpreter mode) must SOLVE every minimal sample the
+        reference vmap path solves: per-sample best held-out epipolar
+        residual < 1e-4 whenever the vmap path achieves it. Individual
+        candidates may differ (marginal split seeds can land on either
+        member of a converged twin pair; the kernel runs 5 GN steps vs the
+        XLA path's 3) — what matters to RANSAC is that the solution set per
+        sample is captured."""
+        from coloc_tpu.geometry import fivept
+
+        B = 37  # deliberately not a multiple of the kernel lane tile
+        X = np.c_[rng.uniform(-3, 3, (B * 8, 2)),
+                  rng.uniform(5, 15, (B * 8, 1))].reshape(B, 8, 3)
+        X[B // 2:, :, 2] = 8.0  # planar half: twin-solution regime
+        x1 = jnp.asarray(X[..., :2] / X[..., 2:], jnp.float32)
+        Xc = X - [0.3, 0.05, 0.0]
+        x2 = jnp.asarray(Xc[..., :2] / Xc[..., 2:], jnp.float32)
+
+        Es_p, val_p = fivept._five_point_batch_pallas(x1[:, :5], x2[:, :5])
+        Es_v, val_v = jax.vmap(fivept.five_point)(x1[:, :5], x2[:, :5])
+
+        def best_res(Es, val):
+            r = jax.vmap(lambda E, a, b: jax.vmap(
+                lambda e: ess.symmetric_epipolar_distance_sq(e, a, b).max()
+            )(E))(Es, x1, x2)
+            return np.asarray(jnp.where(val, r, jnp.inf).min(axis=1))
+
+        bp = best_res(Es_p, val_p)
+        bv = best_res(Es_v, val_v)
+        lost = (bv < 1e-4) & ~(bp < 1e-4)
+        assert not lost.any(), (
+            f"kernel lost solved samples {np.argwhere(lost).ravel()}: "
+            f"kernel best {bp[lost]}, vmap best {bv[lost]}"
+        )
+
     def test_homography_batch_scorer_matches_vmap(self, rng):
         from coloc_tpu.geometry import homography as homog
 
