@@ -204,9 +204,10 @@ def symmetric_epipolar_distance_sq_batch(
 ) -> jnp.ndarray:
     """All-models symmetric epipolar distances -> (Hm, M) in one shot.
 
-    Identical values (to f32 rounding) to vmapping
-    symmetric_epipolar_distance_sq over Es, expressed as pure quadratic
-    forms so NO (M, Hm, 3) intermediate is ever materialized (at Hm=7680,
+    Same values as vmapping symmetric_epipolar_distance_sq over Es to
+    ~2e-3 relative (exact on small residuals; the deviation concentrates on
+    large far-outlier residuals via denominator cancellation — see below),
+    expressed as pure quadratic forms so NO (M, Hm, 3) intermediate is ever materialized (at Hm=7680,
     M=1024 those were 2 x 94 MB of HBM traffic — the dominant cost of
     batched-RANSAC scoring):
       numerator  (h2^T E h1)^2      = ((h2 (x) h1) . vec(E))^2

@@ -179,8 +179,11 @@ def ransac(
       that shape lowers to thousands of tiny K=3 contractions; a hand-
       batched formulation (one (M, 3) x (3, 3*Hm) MXU matmul + elementwise
       epilogue) scores the full (Hm, M) matrix ~7x faster. Must agree with
-      `scorer` to f32 rounding (the final inlier classification always uses
-      `scorer` on the winning model).
+      `scorer` closely enough that candidate RANKING is preserved — the
+      quadratic-form scorers deviate up to ~2e-3 relative on LARGE
+      (far-outlier) residuals (denominator cancellation; see their
+      docstrings). All exact quantities (final inlier classification,
+      adaptive thresholds via the winning model) always use `scorer`.
     rank_scorer: optional cheap (e.g. bf16-matmul) all-models scorer used
       ONLY for the NFA pre-rank ladder. With it, the full-precision
       residual matrix is computed for just the top-`_NFA_CANDIDATES`

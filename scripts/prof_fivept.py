@@ -55,40 +55,13 @@ def main():
         return c + t[0, 0, 0] * 1e-12
     chain("Gauss-Jordan tail (10x10)", s_gj, jnp.float32(0))
 
-    # degree-10 poly coefficients for DK
-    def npoly_of(Mb):
-        tail = fivept._gj_tail(Mb)
-
-        def row_polys(r):
-            P = jnp.stack([r[2], r[1], r[0]])
-            Q = jnp.stack([r[5], r[4], r[3]])
-            R = jnp.stack([r[9], r[8], r[7], r[6]])
-            return P, Q, R
-
-        def combine(ra, rb):
-            Pa, Qa, Ra = row_polys(ra)
-            Pb, Qb, Rb = row_polys(rb)
-            P = jnp.pad(Pa, (0, 1)) - jnp.concatenate([jnp.zeros(1), Pb])
-            Q = jnp.pad(Qa, (0, 1)) - jnp.concatenate([jnp.zeros(1), Qb])
-            R = jnp.pad(Ra, (0, 1)) - jnp.concatenate([jnp.zeros(1), Rb])
-            return P, Q, R
-
-        Pk, Qk, Rk = combine(tail[4], tail[5])
-        Pl, Ql, Rl = combine(tail[6], tail[7])
-        Pm, Qm, Rm = combine(tail[8], tail[9])
-        return fivept._det3_polys((Pk, Pl, Pm), (Qk, Ql, Qm), (Rk, Rl, Rm))
-
-    npolys = jax.vmap(npoly_of)(M)
-
-    def s_det(k, c):
-        p = jax.vmap(npoly_of)(M + c * 1e-12)
-        return c + p[0, 0] * 1e-12
-    chain("GJ + det3 poly build", s_det, jnp.float32(0))
-
-    def s_dk(k, c):
-        r, isr = jax.vmap(fivept._durand_kerner)(npolys + c * 1e-12)
-        return c + jnp.real(r[0, 0]) * 1e-12
-    chain("Durand-Kerner roots (24 it)", s_dk, jnp.float32(0))
+    def s_front(k, c):
+        # production front end via _reduced_system (GJ + polys + DK roots)
+        _, _, _, _, roots, _ = jax.vmap(fivept._reduced_system)(
+            jiggle(k, a1), a2
+        )
+        return c + jnp.real(roots[0, 0]) * 1e-12
+    chain("front end incl. DK (_reduced_system)", s_front, jnp.float32(0))
 
     def s_full(k, c):
         Es, val = fivept.five_point_batch(jiggle(k, a1), a2)
@@ -97,8 +70,9 @@ def main():
 
 
 def tail_probe():
-    """Separate probe: roots -> E (2x2 solve + GN polish + certificate)."""
-    import numpy as np
+    """Chained probe of the UP-TO-ROOTS front end (null basis .. DK). The
+    polish-tail cost is FULL five_point_batch minus this number; the Pallas
+    polish kernel in fivept.py targets exactly that difference."""
     rng = np.random.default_rng(1)
     X = rng.uniform(-2, 2, (H, 5, 3)) + np.array([0, 0, 6.0])
     x1 = (X[..., :2] / X[..., 2:3]).astype(np.float32)
@@ -106,34 +80,10 @@ def tail_probe():
     x2 = (Xc[..., :2] / Xc[..., 2:3]).astype(np.float32)
     a1, a2 = jnp.asarray(x1), jnp.asarray(x2)
 
-    import functools
-
     @jax.jit
     def upto_roots(b1, b2):
         def one(s1, s2):
-            basis = fivept._null_basis(s1, s2)
-            M = fivept._constraint_matrix(basis)
-            tail = fivept._gj_tail(M)
-
-            def row_polys(r):
-                P = jnp.stack([r[2], r[1], r[0]])
-                Q = jnp.stack([r[5], r[4], r[3]])
-                R = jnp.stack([r[9], r[8], r[7], r[6]])
-                return P, Q, R
-
-            def combine(ra, rb):
-                Pa, Qa, Ra = row_polys(ra)
-                Pb, Qb, Rb = row_polys(rb)
-                P = jnp.pad(Pa, (0, 1)) - jnp.concatenate([jnp.zeros(1), Pb])
-                Q = jnp.pad(Qa, (0, 1)) - jnp.concatenate([jnp.zeros(1), Qb])
-                R = jnp.pad(Ra, (0, 1)) - jnp.concatenate([jnp.zeros(1), Rb])
-                return P, Q, R
-
-            Pk, Qk, Rk = combine(tail[4], tail[5])
-            Pl, Ql, Rl = combine(tail[6], tail[7])
-            Pm, Qm, Rm = combine(tail[8], tail[9])
-            npoly = fivept._det3_polys((Pk, Pl, Pm), (Qk, Ql, Qm), (Rk, Rl, Rm))
-            roots, is_real = fivept._durand_kerner(npoly)
+            _, _, _, _, roots, is_real = fivept._reduced_system(s1, s2)
             return roots, is_real
         return jax.vmap(one)(b1, b2)
 
