@@ -294,11 +294,11 @@ def _gj_tail(M: jnp.ndarray) -> jnp.ndarray:
     return Mw[:, 10:]
 
 
-def _reduced_system(x1: jnp.ndarray, x2: jnp.ndarray):
+def _reduced_front(x1: jnp.ndarray, x2: jnp.ndarray):
     """Shared trace: minimal sample -> everything the polish needs.
 
-    Returns (basis (4,3,3), M (10,20), MD (40,20), polys, roots (10,),
-    is_real (10,)) where polys = (Pk, Qk, Pl, Ql, Pm, Qm, Rk, Rl, Rm) are
+    Returns (basis (4,3,3), M (10,20), MD (40,20), polys, n_poly (11,))
+    where polys = (Pk, Qk, Pl, Ql, Pm, Qm, Rk, Rl, Rm) are
     the ascending z-polynomials of Nistér's <k>,<l>,<m> reduced equations
     (P, Q deg-3 -> 4 coeffs; R deg-4 -> 5 coeffs) and MD stacks the
     constraint matrix with its three differentiation products
@@ -333,14 +333,20 @@ def _reduced_system(x1: jnp.ndarray, x2: jnp.ndarray):
         (Pk, Pl, Pm), (Qk, Ql, Qm), (Rk, Rl, Rm)
     )  # (11,) ascending
 
-    roots, is_real = _durand_kerner(n_poly)  # (10,), (10,)
-
     # residual + Jacobian of the 10 constraints from ONE (40, 20) @ (20,)
     # product per GN step: rows 0:10 = r, rows 10+10a:20+10a = dr/dvar_a
     MD = jnp.concatenate(
         [M] + [M @ _DIFF_MATS[a] for a in range(3)], axis=0
     )  # (40, 20), computed once per minimal sample
     polys = (Pk, Qk, Pl, Ql, Pm, Qm, Rk, Rl, Rm)
+    return basis, M, MD, polys, n_poly
+
+
+def _reduced_system(x1: jnp.ndarray, x2: jnp.ndarray):
+    """_reduced_front + Durand-Kerner roots (XLA root-finding; the Pallas
+    batch path swaps in the _dk_kernel instead)."""
+    basis, M, MD, polys, n_poly = _reduced_front(x1, x2)
+    roots, is_real = _durand_kerner(n_poly)  # (10,), (10,)
     return basis, M, MD, polys, roots, is_real
 
 
@@ -572,13 +578,130 @@ def _polish_kernel(md_ref, coef_ref, basis_ref, seeds_ref, valid_ref,
     val_ref[...] = (valid_ref[...] * conv.astype(f32))
 
 
+def _dk_kernel(coef_ref, scale_ref, roots_ref, isreal_ref):
+    """Durand-Kerner roots of B monic degree-10 polynomials, one kernel.
+
+    Layout: roots on sublane rows (10 padded to 16), hypotheses on lanes.
+    The XLA version costs ~0.13 ms at B=256 purely in per-op overhead
+    (24 sequential iterations of ~25 complex ops on (B, 10) arrays); in
+    VMEM the same arithmetic is ~25 us. Same constants/semantics as
+    _durand_kerner AFTER its monic normalization + variable rescaling
+    (done in XLA — they are per-polynomial scalars, cheap there).
+    coef_ref: (11, T) rescaled monic ascending coefficients.
+    scale_ref: (1, T) the rescale factor s (roots returned as x * s).
+    """
+    T = coef_ref.shape[1]
+    f32 = coef_ref.dtype
+
+    def c(i):
+        return coef_ref[i][None, :]                     # (1, T)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (16, T), 0)
+    live = (row < 10).astype(f32)                       # rows 10..15 inert
+
+    # z0 = seed ** (k+1), seed = 0.4 + 0.9j (parity with _durand_kerner)
+    sr, si = 0.4, 0.9
+    zr0, zi0 = [jnp.full((T,), sr, f32)], [jnp.full((T,), si, f32)]
+    for _ in range(9):
+        nr = zr0[-1] * sr - zi0[-1] * si
+        ni = zr0[-1] * si + zi0[-1] * sr
+        zr0.append(nr)
+        zi0.append(ni)
+    zr = jnp.stack(zr0 + [jnp.zeros((T,), f32)] * 6)    # (16, T)
+    zi = jnp.stack(zi0 + [jnp.zeros((T,), f32)] * 6)
+
+    def horner(zr, zi):
+        pr = jnp.broadcast_to(c(10), zr.shape)
+        pi = jnp.zeros_like(zi)
+        for i in range(9, -1, -1):
+            pr, pi = pr * zr - pi * zi + c(i), pr * zi + pi * zr
+        return pr, pi
+
+    def body(_, carry):
+        zr, zi = carry
+        pr, pi = horner(zr, zi)
+        # denom = prod_{j != i} (z_i - z_j): accumulate over the 10 root
+        # rows; the j == i factor is masked to 1 via the row iota
+        dr = jnp.ones_like(zr)
+        di = jnp.zeros_like(zi)
+        for j in range(10):
+            wr = zr - zr[j][None, :]
+            wi = zi - zi[j][None, :]
+            mask = (row == j)
+            wr = jnp.where(mask, 1.0, wr)
+            wi = jnp.where(mask, 0.0, wi)
+            dr, di = dr * wr - di * wi, dr * wi + di * wr
+        den = dr * dr + di * di + 1e-20
+        # z -= p/denom (complex division via conjugate)
+        zr = zr - (pr * dr + pi * di) / den
+        zi = zi - (pi * dr - pr * di) / den
+        # keep the inert pad rows fixed at 0 (they would otherwise wander)
+        return zr * live, zi * live
+
+    zr, zi = jax.lax.fori_loop(0, 24, body, (zr, zi))
+
+    # 3 real-Newton polish steps on Re(z) (parity with _durand_kerner)
+    x = zr
+    for _ in range(3):
+        pr, _ = horner(x, jnp.zeros_like(x))
+        dacc = jnp.broadcast_to(10.0 * c(10), x.shape)
+        for i in range(9, 0, -1):
+            dacc = dacc * x + float(i) * c(i)
+        x = x - pr / (dacc + 1e-12)
+
+    is_real = (jnp.abs(zi) < 0.5 * (jnp.abs(zr) + 1.0)) & jnp.isfinite(x)
+    roots_ref[...] = x * scale_ref[0][None, :]
+    isreal_ref[...] = is_real.astype(f32) * live
+
+
+def _dk_roots_batch(n_poly: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, 11) ascending coefficients -> ((B, 10) real roots, (B, 10) mask)
+    via the Pallas DK kernel (monic normalization + rescaling in XLA)."""
+    B = n_poly.shape[0]
+    lead = n_poly[:, 10]
+    lead = jnp.where(jnp.abs(lead) < 1e-12, 1e-12, lead)
+    c = n_poly / lead[:, None]
+    k = jnp.arange(10, dtype=jnp.float32)
+    mag = jnp.maximum(jnp.abs(c[:, :10]), 1e-30)
+    s = jnp.clip(jnp.max(mag ** (1.0 / (10.0 - k))[None, :], axis=1),
+                 1e-3, 1e6)
+    c = c * jnp.exp(
+        (jnp.arange(11, dtype=jnp.float32)[None, :] - 10.0)
+        * jnp.log(s)[:, None]
+    )
+
+    Bp = -(-B // _LANE_TILE) * _LANE_TILE
+    coefT = jnp.pad(c, ((0, Bp - B), (0, 0))).T          # (11, Bp)
+    scaleT = jnp.pad(s, (0, Bp - B))[None, :]            # (1, Bp)
+    T = _LANE_TILE
+    roots, isreal = pl.pallas_call(
+        _dk_kernel,
+        grid=(Bp // T,),
+        in_specs=[
+            pl.BlockSpec((11, T), lambda i: (0, i)),
+            pl.BlockSpec((1, T), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, T), lambda i: (0, i)),
+            pl.BlockSpec((16, T), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((16, Bp), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(coefT, scaleT)
+    return roots[:10, :B].T, isreal[:10, :B].T > 0.5
+
+
 def _five_point_batch_pallas(
     x1: jnp.ndarray, x2: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B,5,2)x2 -> ((B,30,3,3), (B,30)); XLA front (QR, GJ, DK) + Pallas
     polish tail. Same per-seed arithmetic/constants as five_point."""
     B = x1.shape[0]
-    basis, M, MD, polys, roots, is_real = jax.vmap(_reduced_system)(x1, x2)
+    basis, M, MD, polys, n_poly = jax.vmap(_reduced_front)(x1, x2)
+    roots, is_real = _dk_roots_batch(n_poly)
     delta = 0.01 * (jnp.abs(roots) + 1.0)
     seeds = jnp.concatenate(
         [roots, roots + delta, roots - delta], axis=1
