@@ -578,6 +578,99 @@ def _polish_kernel(md_ref, coef_ref, basis_ref, seeds_ref, valid_ref,
     val_ref[...] = (valid_ref[...] * conv.astype(f32))
 
 
+def _gj_poly_kernel(m_ref, coef_ref, npoly_ref):
+    """Gauss-Jordan tail + Nistér reduced polynomials for a lane of
+    hypotheses, in VMEM.
+
+    Same arithmetic as _gj_tail + the row_polys/combine/_det3_polys chain
+    in _reduced_front, with the (B,10,20) -> (B,10,10) -> small-poly
+    pipeline's ~25 sequential XLA fusions collapsed into one kernel.
+    m_ref: (10, 20, T) constraint matrices, ALREADY regularized
+    (+1e-10 I on the left block — done in XLA, it's a constant add).
+    coef_ref out: (40, T) packed [Pk Qk Pl Ql Pm Qm](4 each) [Rk Rl Rm]
+    (5 each) + 1 pad row — the polish kernel's poly layout.
+    npoly_ref out: (11, T) ascending degree-10 polynomial for DK.
+    """
+    Mw = m_ref[...]                                     # (10, 20, T)
+    T = Mw.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (10, T), 0)
+
+    for k in range(10):
+        col = Mw[:, k, :]                               # (10, T)
+        cand = jnp.where(row >= k, jnp.abs(col), -1.0)
+        mx = jnp.max(cand, axis=0)                      # (T,)
+        hit = cand == mx[None, :]
+        # first row achieving the max (ties broken low, argmax parity)
+        pidx = jnp.min(jnp.where(hit, row, 10), axis=0)  # (T,)
+        onep = (row == pidx[None, :]).astype(Mw.dtype)   # (10, T)
+        onek = (row == k).astype(Mw.dtype)
+        rp = jnp.sum(onep[:, None, :] * Mw, axis=0)      # (20, T)
+        rk = Mw[k]                                       # (20, T)
+        Mw = (Mw + onek[:, None, :] * (rp - rk)[None, :, :]
+              + onep[:, None, :] * (rk - rp)[None, :, :])
+        piv = rp[k] + onep[k] * (rk[k] - rp[k])          # (T,)
+        piv = jnp.where(jnp.abs(piv) < 1e-20, 1e-20, piv)
+        rowk = Mw[k] / piv[None, :]                      # (20, T)
+        Mw = Mw - Mw[:, k, :][:, None, :] * rowk[None, :, :]
+        Mw = Mw + onek[:, None, :] * rowk[None, :, :]
+
+    tail = Mw[:, 10:, :]                                 # (10, 10, T)
+
+    def row_polys(i):
+        r = tail[i]                                      # (10, T)
+        return ((r[2], r[1], r[0]),          # P ascending, deg 2
+                (r[5], r[4], r[3]),          # Q
+                (r[9], r[8], r[7], r[6]))    # R ascending, deg 3
+
+    zero = jnp.zeros((T,), Mw.dtype)
+
+    def combine(ia, ib):
+        Pa, Qa, Ra = row_polys(ia)
+        Pb, Qb, Rb = row_polys(ib)
+        # <k> = eq(a) - z * eq(b): shift b by one degree and subtract
+        P = (Pa[0], Pa[1] - Pb[0], Pa[2] - Pb[1], zero - Pb[2])
+        Q = (Qa[0], Qa[1] - Qb[0], Qa[2] - Qb[1], zero - Qb[2])
+        R = (Ra[0], Ra[1] - Rb[0], Ra[2] - Rb[1], Ra[3] - Rb[2],
+             zero - Rb[3])
+        return P, Q, R
+
+    Pk, Qk, Rk = combine(4, 5)
+    Pl, Ql, Rl = combine(6, 7)
+    Pm, Qm, Rm = combine(8, 9)
+
+    def pmul(a, b):
+        out = [zero] * (len(a) + len(b) - 1)
+        for i in range(len(a)):
+            for j in range(len(b)):
+                out[i + j] = out[i + j] + a[i] * b[j]
+        return out
+
+    def psub(a, b):
+        n = max(len(a), len(b))
+        a = list(a) + [zero] * (n - len(a))
+        b = list(b) + [zero] * (n - len(b))
+        return [x - y for x, y in zip(a, b)]
+
+    def padd(a, b):
+        n = max(len(a), len(b))
+        a = list(a) + [zero] * (n - len(a))
+        b = list(b) + [zero] * (n - len(b))
+        return [x + y for x, y in zip(a, b)]
+
+    # det = Pk*(Ql Rm - Qm Rl) - Qk*(Pl Rm - Pm Rl) + Rk*(Pl Qm - Pm Ql)
+    m01 = psub(pmul(Ql, Rm), pmul(Qm, Rl))
+    m11 = psub(pmul(Pl, Rm), pmul(Pm, Rl))
+    m21 = psub(pmul(Pl, Qm), pmul(Pm, Ql))
+    det = padd(psub(pmul(Pk, m01), pmul(Qk, m11)), pmul(Rk, m21))
+    det = list(det) + [zero] * (11 - len(det))
+
+    coef_ref[...] = jnp.stack(
+        list(Pk) + list(Qk) + list(Pl) + list(Ql) + list(Pm) + list(Qm)
+        + list(Rk) + list(Rl) + list(Rm) + [zero]
+    )                                                    # (40, T)
+    npoly_ref[...] = jnp.stack(det[:11])                 # (11, T)
+
+
 def _dk_kernel(coef_ref, scale_ref, roots_ref, isreal_ref):
     """Durand-Kerner roots of B monic degree-10 polynomials, one kernel.
 
@@ -697,32 +790,55 @@ def _dk_roots_batch(n_poly: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _five_point_batch_pallas(
     x1: jnp.ndarray, x2: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B,5,2)x2 -> ((B,30,3,3), (B,30)); XLA front (QR, GJ, DK) + Pallas
-    polish tail. Same per-seed arithmetic/constants as five_point."""
+    """(B,5,2)x2 -> ((B,30,3,3), (B,30)); XLA front (QR null basis,
+    constraint matrix, MD matmuls) + three Pallas kernels (GJ+polys, DK
+    roots, GN polish). Same per-seed arithmetic/constants as five_point."""
     B = x1.shape[0]
-    basis, M, MD, polys, n_poly = jax.vmap(_reduced_front)(x1, x2)
-    roots, is_real = _dk_roots_batch(n_poly)
+    basis = jax.vmap(_null_basis)(x1, x2)                    # (B, 4, 3, 3)
+    M = jax.vmap(_constraint_matrix)(basis)                  # (B, 10, 20)
+    MD = jnp.concatenate(
+        [M] + [M @ _DIFF_MATS[a] for a in range(3)], axis=1
+    )                                                        # (B, 40, 20)
+
+    Bp = -(-B // _LANE_TILE) * _LANE_TILE  # pad hypotheses to the lane tile
+    T = _LANE_TILE
+
+    def pad_b(a):
+        return jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+
+    # GJ + reduced-polynomial kernel (regularization folded in up front,
+    # _gj_tail parity)
+    reg = jnp.pad(1e-10 * jnp.eye(10, dtype=M.dtype), ((0, 0), (0, 10)))
+    mT = pad_b(M + reg[None]).transpose(1, 2, 0)             # (10, 20, Bp)
+    coefT, npolyT = pl.pallas_call(
+        _gj_poly_kernel,
+        grid=(Bp // T,),
+        in_specs=[pl.BlockSpec((10, 20, T), lambda i: (0, 0, i))],
+        out_specs=[
+            pl.BlockSpec((40, T), lambda i: (0, i)),
+            pl.BlockSpec((11, T), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((40, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((11, Bp), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(mT)
+
+    roots, is_real = _dk_roots_batch(npolyT[:, :B].T)
     delta = 0.01 * (jnp.abs(roots) + 1.0)
     seeds = jnp.concatenate(
         [roots, roots + delta, roots - delta], axis=1
     )  # (B, 30)
     svalid = jnp.tile(is_real, (1, 3)).astype(jnp.float32)
 
-    Bp = -(-B // _LANE_TILE) * _LANE_TILE  # pad hypotheses to the lane tile
-
-    def pad_b(a):
-        return jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
-
     # kernel operand layouts: hypothesis axis LAST (lanes)
     mdT = pad_b(MD).transpose(1, 2, 0)                       # (40, 20, Bp)
-    coef = jnp.concatenate(list(polys), axis=1)              # (B, 39)
-    coefT = jnp.pad(pad_b(coef), ((0, 0), (0, 1))).T         # (40, Bp)
     basisT = pad_b(basis.reshape(B, 36)).T                   # (36, Bp)
     seedsT = jnp.pad(pad_b(seeds), ((0, 0), (0, 2))).T       # (32, Bp)
     validT = jnp.pad(pad_b(svalid), ((0, 0), (0, 2))).T      # (32, Bp)
 
     grid = (Bp // _LANE_TILE,)
-    T = _LANE_TILE
     es, val = pl.pallas_call(
         _polish_kernel,
         grid=grid,
