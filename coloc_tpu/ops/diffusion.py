@@ -153,9 +153,15 @@ def build_scale_space(
             # 2 scales time by 4
             grid_scale = 4.0 ** o
             dt = max((t - t_prev) / grid_scale, 1e-4)
+            # FED semantics (and OpenMVG AKAZE parity): the conductivity is
+            # computed ONCE per cycle and held FIXED across the cycle's
+            # explicit steps — the varying tau schedule is only stable as a
+            # cycle of steps of one linear operator. (Recomputing g per
+            # step, as an earlier revision did, is both off-parity and ~2x
+            # the arithmetic: a Scharr pair + conductivity per step.)
+            gx, gy = _scharr(L)
+            g = 1.0 / (1.0 + (gx * gx + gy * gy) / k2)
             for tau in fed_tau_cycle(dt):
-                gx, gy = _scharr(L)
-                g = 1.0 / (1.0 + (gx * gx + gy * gy) / k2)
                 L = _diffusion_step(L, g, tau)
             t_prev = t
 
