@@ -865,10 +865,41 @@ def _five_point_batch_pallas(
     return Es, valid
 
 
+_KERNEL_OK = None  # lazily probed: do the 5pt kernels compile on this chip?
+
+
+def _kernel_path_available() -> bool:
+    """One-time compile probe of the 5pt Pallas pipeline on the real TPU.
+
+    Mosaic lowering failures surface at COMPILE time inside whatever jit
+    first traces the solver — which would take the whole session/bench
+    down. Probing a tiny standalone compile once (and caching the answer)
+    turns a kernel regression into a logged fallback to the vmap path
+    instead of a crash."""
+    global _KERNEL_OK
+    if _KERNEL_OK is None:
+        try:
+            d = jnp.zeros((2, 5, 2), jnp.float32)
+            jax.block_until_ready(
+                jax.jit(_five_point_batch_pallas)(d, d + 1.0)[0]
+            )
+            _KERNEL_OK = True
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            import warnings
+
+            warnings.warn(
+                f"5pt Pallas kernels unavailable, using vmap path: {e!r}"
+            )
+            _KERNEL_OK = False
+    return _KERNEL_OK
+
+
 def five_point_batch(
     x1: jnp.ndarray, x2: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched 5-point solver: (B,5,2)x2 -> ((B,30,3,3), (B,30))."""
-    if use_pallas() or interpret_mode():
+    if interpret_mode():
+        return _five_point_batch_pallas(x1, x2)
+    if use_pallas() and _kernel_path_available():
         return _five_point_batch_pallas(x1, x2)
     return jax.vmap(five_point)(x1, x2)
