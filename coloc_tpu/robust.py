@@ -276,6 +276,7 @@ def absolute_pose_p3p(
         inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=_point_log_alpha0(cam),
         error_dim=2.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
+        batch_solver=p3p_ops.p3p_flats_batch,
     )
     pose = Pose(R=res.model[:9].reshape(3, 3), C=res.model[9:])
     return pose, res.inliers, res.n_inliers, res.success

@@ -515,6 +515,49 @@ class TestBatchScorerParity:
             f"kernel best {bp[lost]}, vmap best {bv[lost]}"
         )
 
+    def test_p3p_pallas_captures_vmap_solutions(self, rng):
+        """The P3P Pallas kernel (production TPU batch-solver path,
+        interpreter mode here) must capture the true pose on at least as
+        many minimal samples as the vmap path (minus one marginal sample
+        of slack — merged quartic double roots flip under f32
+        reassociation; RANSAC votes such garbage twins out either way)."""
+        from coloc_tpu.geometry import p3p as p3p_ops
+
+        B = 77
+        X = jnp.asarray(rng.uniform(-3, 3, (B, 3, 3)) + [0, 0, 8],
+                        jnp.float32)
+        Rg = np.stack([np.asarray(so3.exp(jnp.asarray(v, jnp.float32)))
+                       for v in rng.normal(0, 0.3, (B, 3))])
+        Cg = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+        Xc = np.einsum("bij,bkj->bki", Rg, np.asarray(X) - Cg[:, None])
+        bear = jnp.asarray(
+            Xc / np.linalg.norm(Xc, axis=-1, keepdims=True), jnp.float32
+        )
+
+        fp, vp = p3p_ops._p3p_flats_pallas(X, bear)
+
+        def one(Xs, bs):
+            poses, valid = p3p_ops.p3p_grunert(Xs, bs)
+            return jnp.concatenate(
+                [poses.R.reshape(4, 9), poses.C.reshape(4, 3)], axis=1
+            ), valid
+
+        fv, vv = jax.vmap(one)(X, bear)
+
+        def captured(f, v):
+            R = np.asarray(f)[..., :9].reshape(B, 4, 3, 3)
+            errs = np.array(
+                [[np.degrees(np.arccos(np.clip(
+                    (np.trace(R[b, i] @ Rg[b].T) - 1) / 2, -1, 1)))
+                  for i in range(4)] for b in range(B)]
+            )
+            errs = np.where(np.asarray(v), errs, np.inf)
+            return errs.min(1) < 0.1
+
+        n_kernel = int(captured(fp, vp).sum())
+        n_vmap = int(captured(fv, vv).sum())
+        assert n_kernel >= n_vmap - 1, (n_kernel, n_vmap)
+
     def test_homography_batch_scorer_matches_vmap(self, rng):
         from coloc_tpu.geometry import homography as homog
 
