@@ -125,19 +125,22 @@ def _null_basis(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     return q[:, 5:9].T.reshape(4, 3, 3)
 
 
-def _constraint_matrix(basis: jnp.ndarray) -> jnp.ndarray:
-    """(4,3,3) basis -> (10, 20) cubic-constraint coefficient matrix."""
-    X, Y, Z, W = basis[0], basis[1], basis[2], basis[3]
+def _constraint_rows(X, Y, Z, W):
+    """Trace-time cubic-constraint expansion over ANY scalar-like values.
 
+    X/Y/Z/W: indexable [r][c] (or array (3,3)) null-basis matrices whose
+    entries are jnp scalars OR (1, T) lane vectors — the same `_Poly`
+    bookkeeping serves the XLA path and the Pallas front kernel. Returns a
+    10 x 20 nested list of coefficient values over `_MONOMIALS`."""
     # E entries as degree-1 polynomials
     E = [[None] * 3 for _ in range(3)]
     for r in range(3):
         for c in range(3):
             E[r][c] = _Poly({
-                (1, 0, 0): X[r, c],
-                (0, 1, 0): Y[r, c],
-                (0, 0, 1): Z[r, c],
-                (0, 0, 0): W[r, c],
+                (1, 0, 0): X[r][c],
+                (0, 1, 0): Y[r][c],
+                (0, 0, 1): Z[r][c],
+                (0, 0, 0): W[r][c],
             })
 
     def matmul(A, B):
@@ -166,10 +169,13 @@ def _constraint_matrix(basis: jnp.ndarray) -> jnp.ndarray:
         for c in range(3):
             eqs.append(two * EEtE[r][c] - trace * E[r][c])
 
-    rows = [
-        jnp.stack([eq.coeff(m) for m in _MONOMIALS]) for eq in eqs
-    ]
-    return jnp.stack(rows)  # (10, 20)
+    return [[eq.coeff(m) for m in _MONOMIALS] for eq in eqs]
+
+
+def _constraint_matrix(basis: jnp.ndarray) -> jnp.ndarray:
+    """(4,3,3) basis -> (10, 20) cubic-constraint coefficient matrix."""
+    rows = _constraint_rows(basis[0], basis[1], basis[2], basis[3])
+    return jnp.stack([jnp.stack(r) for r in rows])  # (10, 20)
 
 
 def _poly_z(coeffs_ascending):
@@ -578,20 +584,19 @@ def _polish_kernel(md_ref, coef_ref, basis_ref, seeds_ref, valid_ref,
     val_ref[...] = (valid_ref[...] * conv.astype(f32))
 
 
-def _gj_poly_kernel(m_ref, coef_ref, npoly_ref):
+def _gj_polys_body(Mw):
     """Gauss-Jordan tail + Nistér reduced polynomials for a lane of
-    hypotheses, in VMEM.
+    hypotheses, in VMEM (shared body of the front kernel).
 
     Same arithmetic as _gj_tail + the row_polys/combine/_det3_polys chain
     in _reduced_front, with the (B,10,20) -> (B,10,10) -> small-poly
-    pipeline's ~25 sequential XLA fusions collapsed into one kernel.
-    m_ref: (10, 20, T) constraint matrices, ALREADY regularized
-    (+1e-10 I on the left block — done in XLA, it's a constant add).
-    coef_ref out: (40, T) packed [Pk Qk Pl Ql Pm Qm](4 each) [Rk Rl Rm]
-    (5 each) + 1 pad row — the polish kernel's poly layout.
-    npoly_ref out: (11, T) ascending degree-10 polynomial for DK.
+    pipeline's ~25 sequential XLA fusions collapsed into kernel code.
+    Mw: (10, 20, T) constraint matrices, ALREADY regularized
+    (+1e-10 I on the left block).
+    Returns (coef (40, T): packed [Pk Qk Pl Ql Pm Qm](4 each)
+    [Rk Rl Rm](5 each) + 1 pad row — the polish kernel's poly layout;
+    npoly (11, T): ascending degree-10 polynomial for DK).
     """
-    Mw = m_ref[...]                                     # (10, 20, T)
     T = Mw.shape[2]
     row = jax.lax.broadcasted_iota(jnp.int32, (10, T), 0)
 
@@ -664,11 +669,122 @@ def _gj_poly_kernel(m_ref, coef_ref, npoly_ref):
     det = padd(psub(pmul(Pk, m01), pmul(Qk, m11)), pmul(Rk, m21))
     det = list(det) + [zero] * (11 - len(det))
 
-    coef_ref[...] = jnp.stack(
+    coef = jnp.stack(
         list(Pk) + list(Qk) + list(Pl) + list(Ql) + list(Pm) + list(Qm)
         + list(Rk) + list(Rl) + list(Rm) + [zero]
     )                                                    # (40, T)
-    npoly_ref[...] = jnp.stack(det[:11])                 # (11, T)
+    return coef, jnp.stack(det[:11])                     # (40,T), (11,T)
+
+
+def _sparse_diff_terms():
+    """COO view of _DIFF_MATS for in-kernel MD assembly:
+    terms[a][j] = [(k, val), ...] with (M @ D_a)[:, j] = sum val * M[:, k]."""
+    import numpy as np
+
+    D = np.asarray(_DIFF_MATS)
+    return [
+        [[(k, float(D[a, k, j])) for k in range(20) if D[a, k, j] != 0.0]
+         for j in range(20)]
+        for a in range(3)
+    ]
+
+
+_DIFF_TERMS = _sparse_diff_terms()
+
+
+def _front_kernel(x_ref, basis_ref, md_ref, coef_ref, npoly_ref):
+    """Minimal-sample front end in VMEM: Householder null basis ->
+    constraint matrix (trace-time _Poly expansion on lane vectors) ->
+    MD assembly -> Gauss-Jordan + reduced polynomials.
+
+    Replaces the XLA front (jnp.linalg.qr complete QR + vmapped
+    _constraint_matrix + MD matmuls), whose batched QR and ~2000-op
+    coefficient fusion DAG dominated the solver's remaining latency.
+    The Householder basis differs from LAPACK's by an orthogonal
+    re-mixing of the null space — any orthonormal basis parametrizes the
+    same solution set; per-sample solution capture is what the tests pin.
+
+    x_ref: (20, T) packed [u1(5) v1(5) u2(5) v2(5)] normalized coords.
+    """
+    f32 = x_ref.dtype
+    T = x_ref.shape[1]
+
+    def g(i):
+        return x_ref[i][None, :]                         # (1, T)
+
+    u1 = [g(i) for i in range(5)]
+    v1 = [g(5 + i) for i in range(5)]
+    u2 = [g(10 + i) for i in range(5)]
+    v2 = [g(15 + i) for i in range(5)]
+    one = jnp.ones((1, T), f32)
+
+    # B = A^T as 5 columns of 9 lane-vectors (A: epipolar design rows)
+    cols = [
+        [u2[i] * u1[i], u2[i] * v1[i], u2[i],
+         v2[i] * u1[i], v2[i] * v1[i], v2[i],
+         u1[i], v1[i], one]
+        for i in range(5)
+    ]
+
+    # complete QR via 5 Householder reflections; keep (v, beta) per step
+    refl = []
+    for k in range(5):
+        x = cols[k]
+        sigma = sum(x[i] * x[i] for i in range(k, 9))
+        sgn = jnp.where(x[k] >= 0.0, 1.0, -1.0)
+        alpha = -sgn * jnp.sqrt(sigma + 1e-30)
+        v = [jnp.zeros((1, T), f32)] * k + [x[k] - alpha] + x[k + 1:]
+        vn2 = 2.0 * (sigma - x[k] * alpha) + 1e-30
+        beta = 2.0 / vn2
+        refl.append((v, beta))
+        for j in range(k + 1, 5):
+            c = sum(v[i] * cols[j][i] for i in range(k, 9))
+            cols[j] = [cols[j][i] - beta * c * v[i] for i in range(9)]
+
+    # null-space columns: q_j = H1 ... H5 e_j for j = 5..8
+    nb = []  # 4 basis vectors of 9 lane-vectors
+    for j in range(5, 9):
+        q = [jnp.zeros((1, T), f32)] * 9
+        q[j] = one
+        for k in range(4, -1, -1):
+            v, beta = refl[k]
+            c = sum(v[i] * q[i] for i in range(k, 9))
+            q = [q[i] - beta * c * v[i] for i in range(9)]
+        nb.append(q)
+
+    def as33(q):
+        return [[q[3 * r + c] for c in range(3)] for r in range(3)]
+
+    rows = _constraint_rows(as33(nb[0]), as33(nb[1]), as33(nb[2]),
+                            as33(nb[3]))  # 10 x 20 of (1, T)
+    zero_lane = jnp.zeros((1, T), f32)
+    rows = [[r if hasattr(r, "shape") and r.shape == (1, T) else zero_lane
+             for r in rr] for rr in rows]
+    M = jnp.stack([jnp.concatenate(rr, axis=0) for rr in rows])  # (10,20,T)
+
+    # MD: rows 0:10 = M; rows 10+10a:20+10a = M @ D_a (sparse COO terms)
+    md_rows = [M]
+    for a in range(3):
+        cols_a = []
+        for j in range(20):
+            acc = jnp.zeros((10, T), f32)
+            for (k, val) in _DIFF_TERMS[a][j]:
+                acc = acc + val * M[:, k, :]
+            cols_a.append(acc)
+        md_rows.append(jnp.stack(cols_a, axis=1))        # (10, 20, T)
+    md_ref[...] = jnp.concatenate(md_rows, axis=0)       # (40, 20, T)
+
+    basis_ref[...] = jnp.concatenate(
+        [nb[b][i] for b in range(4) for i in range(9)], axis=0
+    )                                                    # (36, T)
+
+    # regularize the left block (same 1e-10 I as _gj_tail), then GJ+polys
+    eye_rows = jax.lax.broadcasted_iota(jnp.int32, (10, 20), 0)
+    eye_cols = jax.lax.broadcasted_iota(jnp.int32, (10, 20), 1)
+    reg = jnp.where(eye_rows == eye_cols, 1e-10, 0.0).astype(f32)
+    coef, npoly = _gj_polys_body(M + reg[:, :, None])
+    coef_ref[...] = coef
+    npoly_ref[...] = npoly
 
 
 def _dk_kernel(coef_ref, scale_ref, roots_ref, isreal_ref):
@@ -790,15 +906,12 @@ def _dk_roots_batch(n_poly: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _five_point_batch_pallas(
     x1: jnp.ndarray, x2: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B,5,2)x2 -> ((B,30,3,3), (B,30)); XLA front (QR null basis,
-    constraint matrix, MD matmuls) + three Pallas kernels (GJ+polys, DK
-    roots, GN polish). Same per-seed arithmetic/constants as five_point."""
+    """(B,5,2)x2 -> ((B,30,3,3), (B,30)); three Pallas kernels — front
+    (Householder null basis + constraint matrix + MD + GJ + reduced
+    polynomials), DK roots, GN polish. Same per-seed arithmetic/constants
+    as five_point except the null-space basis (Householder vs LAPACK QR:
+    same space, different orthonormal basis — same solution set)."""
     B = x1.shape[0]
-    basis = jax.vmap(_null_basis)(x1, x2)                    # (B, 4, 3, 3)
-    M = jax.vmap(_constraint_matrix)(basis)                  # (B, 10, 20)
-    MD = jnp.concatenate(
-        [M] + [M @ _DIFF_MATS[a] for a in range(3)], axis=1
-    )                                                        # (B, 40, 20)
 
     Bp = -(-B // _LANE_TILE) * _LANE_TILE  # pad hypotheses to the lane tile
     T = _LANE_TILE
@@ -806,24 +919,29 @@ def _five_point_batch_pallas(
     def pad_b(a):
         return jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
 
-    # GJ + reduced-polynomial kernel (regularization folded in up front,
-    # _gj_tail parity)
-    reg = jnp.pad(1e-10 * jnp.eye(10, dtype=M.dtype), ((0, 0), (0, 10)))
-    mT = pad_b(M + reg[None]).transpose(1, 2, 0)             # (10, 20, Bp)
-    coefT, npolyT = pl.pallas_call(
-        _gj_poly_kernel,
+    # front kernel input: (20, Bp) packed [u1(5) v1(5) u2(5) v2(5)]
+    xs = jnp.concatenate(
+        [x1[:, :, 0], x1[:, :, 1], x2[:, :, 0], x2[:, :, 1]], axis=1
+    )                                                        # (B, 20)
+    xsT = pad_b(xs).T                                        # (20, Bp)
+    basisT, mdT, coefT, npolyT = pl.pallas_call(
+        _front_kernel,
         grid=(Bp // T,),
-        in_specs=[pl.BlockSpec((10, 20, T), lambda i: (0, 0, i))],
+        in_specs=[pl.BlockSpec((20, T), lambda i: (0, i))],
         out_specs=[
+            pl.BlockSpec((36, T), lambda i: (0, i)),
+            pl.BlockSpec((40, 20, T), lambda i: (0, 0, i)),
             pl.BlockSpec((40, T), lambda i: (0, i)),
             pl.BlockSpec((11, T), lambda i: (0, i)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((36, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((40, 20, Bp), jnp.float32),
             jax.ShapeDtypeStruct((40, Bp), jnp.float32),
             jax.ShapeDtypeStruct((11, Bp), jnp.float32),
         ],
         interpret=interpret_mode(),
-    )(mT)
+    )(xsT)
 
     roots, is_real = _dk_roots_batch(npolyT[:, :B].T)
     delta = 0.01 * (jnp.abs(roots) + 1.0)
@@ -832,9 +950,6 @@ def _five_point_batch_pallas(
     )  # (B, 30)
     svalid = jnp.tile(is_real, (1, 3)).astype(jnp.float32)
 
-    # kernel operand layouts: hypothesis axis LAST (lanes)
-    mdT = pad_b(MD).transpose(1, 2, 0)                       # (40, 20, Bp)
-    basisT = pad_b(basis.reshape(B, 36)).T                   # (36, Bp)
     seedsT = jnp.pad(pad_b(seeds), ((0, 0), (0, 2))).T       # (32, Bp)
     validT = jnp.pad(pad_b(svalid), ((0, 0), (0, 2))).T      # (32, Bp)
 
