@@ -178,11 +178,6 @@ def _constraint_matrix(basis: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.stack(r) for r in rows])  # (10, 20)
 
 
-def _poly_z(coeffs_ascending):
-    """Helper: evaluate/operate on z-polynomials stored ascending."""
-    return jnp.stack(coeffs_ascending)
-
-
 def _det3_polys(P, Q, R):
     """det of [[P0,Q0,R0],[P1,Q1,R1],[P2,Q2,R2]] where P,Q are (3, dP) and R
     (3, dR) ascending z-polynomials -> (11,) degree-10 polynomial."""
