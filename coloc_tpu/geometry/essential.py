@@ -122,9 +122,13 @@ def seven_point(x1: jnp.ndarray, x2: jnp.ndarray):
     x2n, T2 = normalize(x2)
 
     A = _epipolar_design_rows(x1n, x2n)  # (7, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F1 = Vt[7].reshape(3, 3)
-    F2 = Vt[8].reshape(3, 3)
+    # null space via complete QR of A^T (trailing 2 columns of Q) — same
+    # replacement as the 5-point solver's null basis: TPU batch SVD costs
+    # ~10x the complete QR at these shapes, and any orthonormal basis of
+    # the 2-dim null space parametrizes the same F pencil
+    q, _ = jnp.linalg.qr(A.T, mode="complete")  # (9, 9)
+    F1 = q[:, 7].reshape(3, 3)
+    F2 = q[:, 8].reshape(3, 3)
 
     # det(F1 + lam F2) = c0 + c1 lam + c2 lam^2 + c3 lam^3 via 4-point
     # polynomial interpolation (exact for a cubic, no symbolic expansion)
