@@ -226,6 +226,20 @@ p3p_grunert_batch = jax.vmap(p3p_grunert)
 _P3P_LANES = 128
 
 
+def _acos_poly(x):
+    """arccos without the acos primitive (no Pallas TPU lowering exists).
+
+    Abramowitz & Stegun 4.4.45: acos(x) ~= sqrt(1-x) * poly(x) on [0, 1],
+    |err| <= 5e-5 rad, extended to [-1, 0] by acos(-x) = pi - acos(x).
+    Only feeds the trig-branch seed of the resolvent cubic, whose two
+    Newton iterations absorb the approximation error.
+    """
+    ax = jnp.abs(x)
+    p = ((-0.0187293 * ax + 0.0742610) * ax - 0.2121144) * ax + 1.5707288
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0.0, jnp.float32(jnp.pi) - r, r)
+
+
 def _p3p_kernel(xw_ref, br_ref, flat_ref, valid_ref):
     f32 = xw_ref.dtype
 
@@ -302,7 +316,7 @@ def _p3p_kernel(xw_ref, br_ref, flat_ref, valid_ref):
     Qq = cdq - cbq * ccq / 3.0 + 2.0 * cbq ** 3 / 27.0
     disc = (Qq / 2.0) ** 2 + (Pq / 3.0) ** 3
     Pn = jnp.minimum(Pq, -1e-20)
-    theta = jnp.arccos(jnp.clip(
+    theta = _acos_poly(jnp.clip(
         (3.0 * Qq) / (2.0 * Pn) * jnp.sqrt(-3.0 / Pn), -1.0, 1.0))
     w_trig = 2.0 * jnp.sqrt(-Pn / 3.0) * jnp.cos(theta / 3.0)
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
