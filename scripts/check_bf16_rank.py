@@ -86,7 +86,7 @@ def main():
 
         n_b = int(geo_bf16.n_inliers)
         n_f = int(geo_f32.n_inliers)
-        dR = np.degrees(float(so3.angle_between(geo_bf16.R, geo_f32.R)))
+        dR = np.degrees(float(jnp.linalg.norm(so3.log(geo_bf16.R.T @ geo_f32.R))))
         dt = np.degrees(np.arccos(np.clip(
             float(jnp.dot(geo_bf16.t, geo_f32.t)), -1, 1)))
         same_pose = dR < 0.5 and dt < 1.0
