@@ -398,7 +398,12 @@ def _bench_akaze(scene, img, iters):
     def loop(x):
         def body(i, c):
             f = detect_and_describe(c, config.detector)
-            return jimg + f.score.sum() * 1e-12
+            # consume desc + xy + score so XLA cannot dead-code-eliminate the
+            # MLDB describe stage (an earlier body used only f.score and
+            # silently timed detection alone)
+            live = (f.score.sum() + f.xy.sum()
+                    + f.desc.astype(jnp.float32).sum())
+            return jimg + live * 1e-12
         return jax.lax.fori_loop(0, it, body, x)
 
     jax.block_until_ready(loop(jimg))

@@ -9,7 +9,8 @@ RANSAC, mapping) is identical to the TRIP-512 path — both emit `Features`.
 
 TPU-first: FED diffusion is fused stencil work (ops/diffusion.py); detection
 is per-level NMS + CROSS-SCALE suppression + fixed-capacity top-k;
-orientation and MLDB sampling are flattened-pyramid gathers (ops/mldb.py).
+orientation and MLDB sampling ride the per-keypoint patch-DMA + one-hot MXU
+path (ops/patches.py + ops/mldb.py).
 
 Cross-scale extrema (AKAZE.hpp:29-78 / OpenMVG Find_Scale_Space_Extrema
 parity): a candidate is suppressed when a STRONGER response exists within its
@@ -37,7 +38,7 @@ import jax.numpy as jnp
 
 from coloc_tpu.config import DetectorOptions
 from coloc_tpu.ops import diffusion, fast as fast_ops, mldb
-from coloc_tpu.ops import pyramid as pyr_ops
+from coloc_tpu.ops import patches as patch_ops
 from coloc_tpu.types import Features
 
 _DETECT_BORDER = 10
@@ -130,17 +131,29 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     kp_sig = csig[top_i]          # sigma in level-local pixels
     valid = top_s > 0
 
-    # --- flattened per-channel pyramids over evolution levels -------------
-    flat_l, b, hh, ww = pyr_ops.flatten_pyramid([ev.L for ev in levels])
-    flat_lx, _, _, _ = pyr_ops.flatten_pyramid([ev.Lx for ev in levels])
-    flat_ly, _, _, _ = pyr_ops.flatten_pyramid([ev.Ly for ev in levels])
+    # --- per-keypoint channel patches from stacked evolution rasters -------
+    # One 64x256 DMA window per keypoint per channel, then orientation and
+    # MLDB samples are one-hot MXU contractions (ops/patches.py) — the same
+    # machinery as the TRIP frontend. Patch geometry (origins) is shared by
+    # all three channels (identical level layout).
+    sp_l = patch_ops.stack_levels([ev.L for ev in levels])
+    sp_lx = patch_ops.stack_levels([ev.Lx for ev in levels])
+    sp_ly = patch_ops.stack_levels([ev.Ly for ev in levels])
+    rb = jnp.asarray(sp_l.row_base)
+    w_l = jnp.asarray(sp_l.widths)[kp_l].astype(jnp.float32)
+    h_l = jnp.asarray(sp_l.heights)[kp_l].astype(jnp.float32)
+    row0, col0 = patch_ops.patch_origins(sp_l, kp_x, kp_y, kp_l)
+    row0_local = row0 - rb[kp_l]
+    P_l = patch_ops.extract_patches(sp_l.stacked, row0, col0)
+    P_lx = patch_ops.extract_patches(sp_lx.stacked, row0, col0)
+    P_ly = patch_ops.extract_patches(sp_ly.stacked, row0, col0)
 
     kp_angle = mldb.orientation(
-        flat_lx, flat_ly, b, hh, ww, kp_x, kp_y, kp_l, kp_sig
+        P_lx, P_ly, kp_x, kp_y, kp_sig, w_l, h_l, col0, row0_local
     )
     desc = mldb.describe_mldb(
-        flat_l, flat_lx, flat_ly, b, hh, ww,
-        kp_x, kp_y, kp_l, kp_sig, kp_angle,
+        P_l, P_lx, P_ly, kp_x, kp_y, kp_sig, kp_angle,
+        w_l, h_l, col0, row0_local,
     )
 
     # --- base-resolution coordinates (octave upsampling) -------------------

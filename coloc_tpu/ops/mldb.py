@@ -14,7 +14,16 @@ Binary). Semantics:
     comparison bit: (6+36+120)*3 = 486 bits, zero-padded to 512 in the packed
     bank so the Hamming kernel is shared with TRIP-512.
 
-All sampling happens with one flattened-pyramid gather per channel.
+Sampling rides the per-keypoint patch-DMA + one-hot MXU machinery
+(ops/patches.py), the same path the TRIP frontend uses: one 64x256 VMEM
+window per keypoint per channel, then every disc/grid sample is a one-hot
+matmul row instead of an elementwise flat gather. The earlier
+flattened-pyramid gather formulation lowered to millions of scalar-indexed
+loads and dominated the whole AKAZE frontend (~60 ms of an 86 ms frame at
+kp=5000 on v5e); the patch form is MXU work. Sample reach fits the patch
+margin: descriptor 5*sigma_px*sqrt(2) <= 19.1 px, orientation disc
+6*sigma_px <= 16.2 px, both < _MARGIN=26 (sigma_px in [1.6, 2.69] for
+every octave's sublevels).
 """
 
 from __future__ import annotations
@@ -25,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from coloc_tpu.ops import pyramid as pyr_ops
+from coloc_tpu.ops import patches as patch_ops
 from coloc_tpu.ops.hamming import pack_bits
 
 _ORI_BINS = 30
@@ -53,22 +62,21 @@ _DISC = _disc_offsets()
 
 
 def orientation(
-    flat_lx, flat_ly, bases, heights, widths,
-    kp_x, kp_y, kp_level, kp_sigma_px,
+    P_lx, P_ly,                  # (K, PH, PW) per-keypoint derivative patches
+    kp_x, kp_y, kp_sigma_px,     # (K,) level-local coords / sigma
+    w_l, h_l,                    # (K,) level extents (float, for clamping)
+    col0, row0_local,            # (K,) patch origins (level-local)
 ) -> jnp.ndarray:
     """Dominant-gradient orientation per keypoint, (K,) radians."""
     disc = jnp.asarray(_DISC)                    # (P, 2)
-    K = kp_x.shape[0]
     sx = kp_x[:, None] + kp_sigma_px[:, None] * disc[None, :, 0]
     sy = kp_y[:, None] + kp_sigma_px[:, None] * disc[None, :, 1]
-    lvl = jnp.broadcast_to(kp_level[:, None], sx.shape)
-
-    gx = pyr_ops.gather_nearest_flat(
-        flat_lx, bases, heights, widths, lvl.reshape(-1), sx.reshape(-1),
-        sy.reshape(-1)).reshape(K, -1)
-    gy = pyr_ops.gather_nearest_flat(
-        flat_ly, bases, heights, widths, lvl.reshape(-1), sx.reshape(-1),
-        sy.reshape(-1)).reshape(K, -1)
+    sx = jnp.clip(sx, 0.0, (w_l - 1.0)[:, None])
+    sy = jnp.clip(sy, 0.0, (h_l - 1.0)[:, None])
+    lx = sx - col0.astype(jnp.float32)[:, None]
+    ly = sy - row0_local.astype(jnp.float32)[:, None]
+    gx = patch_ops.sample_nearest(P_lx, lx, ly)  # (K, P)
+    gy = patch_ops.sample_nearest(P_ly, lx, ly)
 
     ang = jnp.arctan2(gy, gx)                    # (K, P)
     bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * _ORI_BINS).astype(jnp.int32)
@@ -129,11 +137,11 @@ _COORDS, _CELL_OF, _PAIRS, _NUM_CELLS = _grid_cells()
 
 
 def describe_mldb(
-    flat_l, flat_lx, flat_ly, bases, heights, widths,
-    kp_x, kp_y, kp_level, kp_sigma_px, kp_angle,
+    P_l, P_lx, P_ly,             # (K, PH, PW) per-keypoint channel patches
+    kp_x, kp_y, kp_sigma_px, kp_angle,
+    w_l, h_l, col0, row0_local,
 ) -> jnp.ndarray:
     """-> (K, 16) uint32: 486 MLDB bits + 26 zero padding bits."""
-    K = kp_x.shape[0]
     coords = jnp.asarray(_COORDS)                       # (N, 2) in [-1,1]
     ca, sa = jnp.cos(kp_angle), jnp.sin(kp_angle)
 
@@ -142,17 +150,14 @@ def describe_mldb(
     v = coords[None, :, 1] * half[:, None]
     rx = ca[:, None] * u - sa[:, None] * v
     ry = sa[:, None] * u + ca[:, None] * v
-    sx = kp_x[:, None] + rx
-    sy = kp_y[:, None] + ry
-    lvl = jnp.broadcast_to(kp_level[:, None], sx.shape)
-    flat_idx = (lvl.reshape(-1), sx.reshape(-1), sy.reshape(-1))
+    sx = jnp.clip(kp_x[:, None] + rx, 0.0, (w_l - 1.0)[:, None])
+    sy = jnp.clip(kp_y[:, None] + ry, 0.0, (h_l - 1.0)[:, None])
+    lx = sx - col0.astype(jnp.float32)[:, None]
+    ly = sy - row0_local.astype(jnp.float32)[:, None]
 
-    L = pyr_ops.gather_nearest_flat(flat_l, bases, heights, widths, *flat_idx
-                                    ).reshape(K, -1)
-    Gx = pyr_ops.gather_nearest_flat(flat_lx, bases, heights, widths, *flat_idx
-                                     ).reshape(K, -1)
-    Gy = pyr_ops.gather_nearest_flat(flat_ly, bases, heights, widths, *flat_idx
-                                     ).reshape(K, -1)
+    L = patch_ops.sample_nearest(P_l, lx, ly)           # (K, N)
+    Gx = patch_ops.sample_nearest(P_lx, lx, ly)
+    Gy = patch_ops.sample_nearest(P_ly, lx, ly)
     # steered derivatives (rotate the gradient into the patch frame)
     Dx = ca[:, None] * Gx + sa[:, None] * Gy
     Dy = -sa[:, None] * Gx + ca[:, None] * Gy

@@ -12,7 +12,7 @@ Level sizes are static functions of the config so everything stays jittable.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -129,82 +129,3 @@ def _running_mean(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
     hi = jax.lax.slice_in_dim(csum, k, n + 1, axis=axis)
     lo = jax.lax.slice_in_dim(csum, 0, n - k + 1, axis=axis)
     return (hi - lo) / k
-
-
-def flatten_pyramid(levels: Sequence[jnp.ndarray]):
-    """Concatenate level rasters into one 1-D buffer + static index tables.
-
-    Enables a single gather for samples spread across levels: an (x, y, level)
-    sample maps to flat index base[level] + y * width[level] + x. Returns
-    (flat (N,) array, bases (L,), heights (L,), widths (L,)) — tables are
-    static numpy-backed jnp constants baked into the jit trace.
-    """
-    flat = jnp.concatenate([lvl.reshape(-1) for lvl in levels])
-    bases, heights, widths = [], [], []
-    off = 0
-    for lvl in levels:
-        h, w = lvl.shape
-        bases.append(off)
-        heights.append(h)
-        widths.append(w)
-        off += h * w
-    return (
-        flat,
-        jnp.asarray(bases, jnp.int32),
-        jnp.asarray(heights, jnp.int32),
-        jnp.asarray(widths, jnp.int32),
-    )
-
-
-def gather_bilinear_flat(
-    flat: jnp.ndarray,
-    bases: jnp.ndarray,
-    heights: jnp.ndarray,
-    widths: jnp.ndarray,
-    level: jnp.ndarray,  # (...,) int32 per-sample level
-    x: jnp.ndarray,      # (...,) float32 level-local x
-    y: jnp.ndarray,      # (...,) float32 level-local y
-) -> jnp.ndarray:
-    """Bilinear sample from the flattened pyramid; coords clamped in-bounds."""
-    w = widths[level].astype(jnp.float32)
-    h = heights[level].astype(jnp.float32)
-    base = bases[level]
-    x = jnp.clip(x, 0.0, w - 1.001)
-    y = jnp.clip(y, 0.0, h - 1.001)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    wi = widths[level]
-    i00 = base + y0i * wi + x0i
-    v00 = flat[i00]
-    v01 = flat[i00 + 1]
-    v10 = flat[i00 + wi]
-    v11 = flat[i00 + wi + 1]
-    return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
-
-
-def gather_nearest_flat(
-    flat: jnp.ndarray,
-    bases: jnp.ndarray,
-    heights: jnp.ndarray,
-    widths: jnp.ndarray,
-    level: jnp.ndarray,
-    x: jnp.ndarray,
-    y: jnp.ndarray,
-) -> jnp.ndarray:
-    """Nearest-neighbor sample from the flattened pyramid (1 gather per
-    sample vs bilinear's 4 — used where the source is already low-pass
-    filtered, e.g. descriptor sampling on the box-smoothed pyramid)."""
-    w = widths[level].astype(jnp.float32)
-    h = heights[level].astype(jnp.float32)
-    xi = jnp.clip(jnp.round(x), 0.0, w - 1.0).astype(jnp.int32)
-    yi = jnp.clip(jnp.round(y), 0.0, h - 1.0).astype(jnp.int32)
-    return flat[bases[level] + yi * widths[level] + xi]
