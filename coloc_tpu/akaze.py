@@ -18,7 +18,10 @@ sigma radius at an adjacent evolution level (the reference dedups each level's
 keypoints against the previous level's list). Without this, the same corner
 surfaces at several adjacent sublevels, and the near-identical duplicate
 descriptors later fail the Lowe-ratio test against each other — so the
-suppression measurably INCREASES downstream accepted matches.
+suppression measurably INCREASES downstream accepted matches. On TPU the
+suppression runs entirely in RASTER space (upsample + max-dilate + compare,
+see inline comment) and keypoint selection is ONE top-k over the stacked
+level rasters — no per-level top-ks, no scatter/gather candidate lists.
 
 Remaining deviation (documented, measured-equivalent): MLDB cell means use a
 dense fixed 4x4 point-sample grid per cell rather than the reference's
@@ -31,6 +34,7 @@ Select with DetectorOptions(backend="akaze").
 from __future__ import annotations
 
 import functools
+import math
 from typing import List
 
 import jax
@@ -44,6 +48,18 @@ from coloc_tpu.types import Features
 _DETECT_BORDER = 10
 
 
+@functools.lru_cache(maxsize=16)
+def _akaze_mask(row_base, heights, widths, wp, rows, border):
+    """Static keep mask for the stacked NMS raster: zero outside each level's
+    per-level detection border and on inter-level padding rows."""
+    import numpy as np
+
+    m = np.zeros((rows, wp), np.float32)
+    for rb, h, w in zip(row_base, heights, widths):
+        m[rb + border : rb + h - border, border : w - border] = 1.0
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("opts",))
 def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Features:
     """image (H, W) grayscale -> Features (fixed capacity, packed MLDB)."""
@@ -55,104 +71,107 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
         image, num_octaves=num_octaves, num_sublevels=num_sub
     )
 
-    # --- detection: per-level threshold + NMS + top-k, then global top-k ---
-    xs, ys, ss, ls, sig = [], [], [], [], []
+    # --- detection: per-level threshold + NMS ------------------------------
     thresh = 1e-4  # AKAZE default response threshold (normalized image)
-    for li, ev in enumerate(levels):
-        resp = jnp.where(ev.response > thresh, ev.response, 0.0)
-        nms = fast_ops.nms3(resp)
-        x, y, s, v = fast_ops.topk_keypoints(nms, k, _DETECT_BORDER)
-        x, y = fast_ops.subpixel_refine(ev.response, x, y)
-        xs.append(x)
-        ys.append(y)
-        ss.append(jnp.where(v, s, 0.0))
-        ls.append(jnp.full_like(x, li, dtype=jnp.int32))
-        sig.append(jnp.full_like(x, ev.sigma / (2.0 ** ev.octave)))
-    # --- cross-scale extrema suppression (adjacent evolution levels) -------
-    # base-resolution coords per level candidate set. Pairwise distance
-    # matrices would be O(k^2) per level pair (kp=5000 -> 15x 5000x5000
-    # matrices per frame), so suppression runs on a GRID: each level's
-    # candidate scores scatter-max into base-resolution cells of size r
-    # (the suppression radius), and a candidate is suppressed iff the 3x3
-    # cell neighborhood of the ADJACENT level holds a stronger score. The
-    # 3x3-of-r window covers every true neighbor within r (no missed
-    # duplicates at ANY capacity); it can also reach up to ~2.8r, a mild,
-    # deliberate over-suppression — acceptable for dedup hygiene, and the
-    # weaker of two corners that close is redundant anyway.
-    H0, W0 = levels[0].L.shape
-    oct_of = [ev.octave for ev in levels]
-    bx = [x * (2.0 ** oct_of[li]) for li, x in enumerate(xs)]
-    by = [y * (2.0 ** oct_of[li]) for li, y in enumerate(ys)]
-    bsig = [levels[li].sigma for li in range(len(levels))]
+    nms = [
+        fast_ops.nms3(jnp.where(ev.response > thresh, ev.response, 0.0))
+        for ev in levels
+    ]
+
+    # --- cross-scale extrema suppression, raster form ----------------------
+    # The reference dedups each level's candidate LIST against the adjacent
+    # level's within a sigma radius. List forms need scatters/gathers (XLA's
+    # slow serial path — a grid-painting variant cost ~6.5 ms/frame at
+    # kp=5000 on v5e). The TPU-native form stays in raster space: level
+    # li+1's NMS peak raster is upsampled to li's resolution, max-dilated by
+    # the suppression radius (two 1-D reduce_windows), and compared
+    # pointwise — a peak is suppressed iff a STRICTLY stronger adjacent-level
+    # peak lies within radius r (ties kill the coarser level). The square
+    # dilation window over-reaches Euclidean r by sqrt(2) in the corners
+    # (+1 px cross-octave upsample slack) — mild deliberate over-suppression;
+    # the weaker of two corners that close is redundant anyway.
+    def _maxpool(x, rad):
+        if rad <= 0:
+            return x
+        w = 2 * rad + 1
+        x = jax.lax.reduce_window(x, 0.0, jax.lax.max, (w, 1), (1, 1), "SAME")
+        return jax.lax.reduce_window(x, 0.0, jax.lax.max, (1, w), (1, 1),
+                                     "SAME")
+
+    def _up2(x, h, w):
+        return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)[:h, :w]
+
     for li in range(len(levels) - 1):
-        r = float(max(bsig[li], bsig[li + 1]))
-        gy = int(H0 / r) + 3
-        gx = int(W0 / r) + 3
-
-        def cells(lvl):
-            ci = jnp.clip((bx[lvl] / r).astype(jnp.int32) + 1, 0, gx - 1)
-            ri = jnp.clip((by[lvl] / r).astype(jnp.int32) + 1, 0, gy - 1)
-            return ri, ci
-
-        def paint(lvl, ri, ci):
-            return jnp.zeros((gy, gx)).at[ri, ci].max(ss[lvl])
-
-        def neigh_max(grid, ri, ci):
-            m = jnp.float32(0.0)
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    m = jnp.maximum(
-                        m,
-                        grid[jnp.clip(ri + dy, 0, gy - 1),
-                             jnp.clip(ci + dx, 0, gx - 1)],
-                    )
-            return m
-        ra, ca = cells(li)
-        rb, cb = cells(li + 1)
-        grid_a = paint(li, ra, ca)
-        grid_b = paint(li + 1, rb, cb)
-        s_a, s_b = ss[li], ss[li + 1]
+        a, b = nms[li], nms[li + 1]
+        oa, ob = levels[li].octave, levels[li + 1].octave
+        r_base = max(levels[li].sigma, levels[li + 1].sigma)  # base px
+        ra_px = math.ceil(r_base / (2.0 ** oa)) + (1 if ob > oa else 0)
+        ha, wa = a.shape
+        b_at_a = _up2(b, ha, wa) if ob > oa else b
         # suppress the weaker of a close pair; ties suppress the coarser level
-        sup_a = neigh_max(grid_b, ra, ca) > s_a
-        sup_b = neigh_max(grid_a, rb, cb) >= s_b
-        ss[li] = jnp.where(sup_a, 0.0, s_a)
-        ss[li + 1] = jnp.where(sup_b, 0.0, s_b)
+        sup_a = _maxpool(b_at_a, ra_px) > a
+        dil_a = _maxpool(a, ra_px)
+        if ob > oa:  # 2x2 max-downsample back to b's grid
+            hb, wb = b.shape
+            dil_a = jax.lax.reduce_window(
+                jnp.pad(dil_a, ((0, 2 * hb - ha), (0, 2 * wb - wa))),
+                0.0, jax.lax.max, (2, 2), (2, 2), "VALID")
+        sup_b = dil_a >= b
+        nms[li] = jnp.where(sup_a, 0.0, a)
+        nms[li + 1] = jnp.where(sup_b, 0.0, b)
 
-    cx = jnp.concatenate(xs)
-    cy = jnp.concatenate(ys)
-    cs = jnp.concatenate(ss)
-    cl = jnp.concatenate(ls)
-    csig = jnp.concatenate(sig)
-
-    top_s, top_i = jax.lax.top_k(cs, k)
-    kp_x = cx[top_i]
-    kp_y = cy[top_i]
-    kp_l = cl[top_i]
-    kp_sig = csig[top_i]          # sigma in level-local pixels
+    # --- single stacked top-k over all levels (TRIP-frontend structure) ----
+    sp_nms = patch_ops.stack_levels(nms)
+    sp_resp = patch_ops.stack_levels([ev.response for ev in levels])
+    wp = sp_nms.wp
+    rb = jnp.asarray(sp_nms.row_base)
+    mask = _akaze_mask(tuple(int(r) for r in sp_nms.row_base),
+                       tuple(int(h) for h in sp_nms.heights),
+                       tuple(int(w) for w in sp_nms.widths),
+                       wp, sp_nms.stacked.shape[0], _DETECT_BORDER)
+    flat = (sp_nms.stacked * jnp.asarray(mask)).reshape(-1)
+    if flat.shape[0] <= 2 * k:
+        top_s, top_i = jax.lax.top_k(flat, k)
+    else:
+        # approx_max_k (recall ~0.95): a few percent of the WEAKEST selected
+        # peaks may swap for near-threshold neighbors — same documented
+        # trade as the TRIP frontend (frontend.py top-k comment)
+        top_s, top_i = jax.lax.approx_max_k(flat, k)
     valid = top_s > 0
+    row = top_i // wp
+    col = top_i % wp
+    kp_l = jnp.sum(row[:, None] >= rb[None, 1:], axis=1).astype(jnp.int32)
 
-    # --- per-keypoint channel patches from stacked evolution rasters -------
-    # One 64x256 DMA window per keypoint per channel, then orientation and
-    # MLDB samples are one-hot MXU contractions (ops/patches.py) — the same
-    # machinery as the TRIP frontend. Patch geometry (origins) is shared by
-    # all three channels (identical level layout).
+    # subpixel refinement on the stacked raw response raster
+    kp_x, sy = fast_ops.subpixel_refine(
+        sp_resp.stacked, col.astype(jnp.float32), row.astype(jnp.float32)
+    )
+    kp_y = sy - rb[kp_l].astype(jnp.float32)    # level-local y
+    sig_table = jnp.asarray(
+        [ev.sigma / (2.0 ** ev.octave) for ev in levels], jnp.float32
+    )
+    kp_sig = sig_table[kp_l]      # sigma in level-local pixels
+
+    # --- per-keypoint sampling from stacked evolution rasters --------------
+    # L/Lx/Ly stack into one (3, R, WP) buffer with shared window geometry;
+    # orientation and MLDB samples ride the fused window-DMA + one-hot MXU
+    # kernel (ops/patches.sample_raster) — no per-keypoint patches ever touch
+    # HBM, the same machinery as the TRIP frontend.
     sp_l = patch_ops.stack_levels([ev.L for ev in levels])
     sp_lx = patch_ops.stack_levels([ev.Lx for ev in levels])
     sp_ly = patch_ops.stack_levels([ev.Ly for ev in levels])
+    src3 = jnp.stack([sp_l.stacked, sp_lx.stacked, sp_ly.stacked])
     rb = jnp.asarray(sp_l.row_base)
     w_l = jnp.asarray(sp_l.widths)[kp_l].astype(jnp.float32)
     h_l = jnp.asarray(sp_l.heights)[kp_l].astype(jnp.float32)
     row0, col0 = patch_ops.patch_origins(sp_l, kp_x, kp_y, kp_l)
     row0_local = row0 - rb[kp_l]
-    P_l = patch_ops.extract_patches(sp_l.stacked, row0, col0)
-    P_lx = patch_ops.extract_patches(sp_lx.stacked, row0, col0)
-    P_ly = patch_ops.extract_patches(sp_ly.stacked, row0, col0)
 
     kp_angle = mldb.orientation(
-        P_lx, P_ly, kp_x, kp_y, kp_sig, w_l, h_l, col0, row0_local
+        src3, row0, kp_x, kp_y, kp_sig, w_l, h_l, col0, row0_local
     )
     desc = mldb.describe_mldb(
-        P_l, P_lx, P_ly, kp_x, kp_y, kp_sig, kp_angle,
+        src3, row0, kp_x, kp_y, kp_sig, kp_angle,
         w_l, h_l, col0, row0_local,
     )
 

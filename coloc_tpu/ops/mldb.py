@@ -14,14 +14,16 @@ Binary). Semantics:
     comparison bit: (6+36+120)*3 = 486 bits, zero-padded to 512 in the packed
     bank so the Hamming kernel is shared with TRIP-512.
 
-Sampling rides the per-keypoint patch-DMA + one-hot MXU machinery
-(ops/patches.py), the same path the TRIP frontend uses: one 64x256 VMEM
-window per keypoint per channel, then every disc/grid sample is a one-hot
-matmul row instead of an elementwise flat gather. The earlier
+Sampling rides the fused window-DMA + one-hot MXU kernel
+(ops/patches.sample_raster): the L/Lx/Ly evolution rasters stack into one
+(3, R, WP) buffer, one 64x256 window per keypoint is DMA'd to VMEM, and
+every disc/grid sample is a one-hot matmul column evaluated in-kernel —
+per-keypoint patches and one-hot weights never touch HBM. The earlier
 flattened-pyramid gather formulation lowered to millions of scalar-indexed
-loads and dominated the whole AKAZE frontend (~60 ms of an 86 ms frame at
-kp=5000 on v5e); the patch form is MXU work. Sample reach fits the patch
-margin: descriptor 5*sigma_px*sqrt(2) <= 19.1 px, orientation disc
+loads (~60 ms of an 86 ms frame at kp=5000 on v5e); the intermediate
+extract-patches + XLA one-hot einsum form still wrote ~GBs of one-hot /
+partial-product HBM intermediates at K=5000, NS=464. Sample reach fits the
+window margin: descriptor 5*sigma_px*sqrt(2) <= 19.1 px, orientation disc
 6*sigma_px <= 16.2 px, both < _MARGIN=26 (sigma_px in [1.6, 2.69] for
 every octave's sublevels).
 """
@@ -62,12 +64,18 @@ _DISC = _disc_offsets()
 
 
 def orientation(
-    P_lx, P_ly,                  # (K, PH, PW) per-keypoint derivative patches
+    src3, row0,                  # (3, R, WP) L/Lx/Ly stack + (K,) window rows
     kp_x, kp_y, kp_sigma_px,     # (K,) level-local coords / sigma
     w_l, h_l,                    # (K,) level extents (float, for clamping)
     col0, row0_local,            # (K,) patch origins (level-local)
 ) -> jnp.ndarray:
-    """Dominant-gradient orientation per keypoint, (K,) radians."""
+    """Dominant-gradient orientation per keypoint, (K,) radians.
+
+    Samples ride the fused window-DMA + one-hot MXU kernel
+    (patches.sample_raster); the L channel rides along unused (NS=49 makes
+    the extra channel ~free, and one 3-channel call shares the window DMAs
+    and one-hot build with the path describe_mldb takes).
+    """
     disc = jnp.asarray(_DISC)                    # (P, 2)
     sx = kp_x[:, None] + kp_sigma_px[:, None] * disc[None, :, 0]
     sy = kp_y[:, None] + kp_sigma_px[:, None] * disc[None, :, 1]
@@ -75,8 +83,7 @@ def orientation(
     sy = jnp.clip(sy, 0.0, (h_l - 1.0)[:, None])
     lx = sx - col0.astype(jnp.float32)[:, None]
     ly = sy - row0_local.astype(jnp.float32)[:, None]
-    gx = patch_ops.sample_nearest(P_lx, lx, ly)  # (K, P)
-    gy = patch_ops.sample_nearest(P_ly, lx, ly)
+    _, gx, gy = patch_ops.sample_raster(src3, row0, col0, lx, ly)  # (K, P)
 
     ang = jnp.arctan2(gy, gx)                    # (K, P)
     bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * _ORI_BINS).astype(jnp.int32)
@@ -137,7 +144,7 @@ _COORDS, _CELL_OF, _PAIRS, _NUM_CELLS = _grid_cells()
 
 
 def describe_mldb(
-    P_l, P_lx, P_ly,             # (K, PH, PW) per-keypoint channel patches
+    src3, row0,                  # (3, R, WP) L/Lx/Ly stack + (K,) window rows
     kp_x, kp_y, kp_sigma_px, kp_angle,
     w_l, h_l, col0, row0_local,
 ) -> jnp.ndarray:
@@ -155,9 +162,7 @@ def describe_mldb(
     lx = sx - col0.astype(jnp.float32)[:, None]
     ly = sy - row0_local.astype(jnp.float32)[:, None]
 
-    L = patch_ops.sample_nearest(P_l, lx, ly)           # (K, N)
-    Gx = patch_ops.sample_nearest(P_lx, lx, ly)
-    Gy = patch_ops.sample_nearest(P_ly, lx, ly)
+    L, Gx, Gy = patch_ops.sample_raster(src3, row0, col0, lx, ly)  # (K, N)
     # steered derivatives (rotate the gradient into the patch frame)
     Dx = ca[:, None] * Gx + sa[:, None] * Gy
     Dy = -sa[:, None] * Gx + ca[:, None] * Gy

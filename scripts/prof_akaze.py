@@ -107,6 +107,49 @@ def main():
     t2a = chain_time(detect_only, img, feedback=lambda out, x: x + out * 0.0)
     print(f"  scale space + per-level NMS/topk/subpix      {t2a*1e3:7.2f} ms")
 
+    # 2b) detection + raster cross-scale suppression + stacked top-k
+    # (mirrors the stage structure of detect_and_describe_akaze up to
+    # keypoint selection; see akaze.py)
+    from coloc_tpu.ops import patches as patch_ops
+
+    def detect_through(x):
+        levels = diffusion.build_scale_space(x, 4, 4)
+        nms = [
+            fast_ops_.nms3(jnp.where(ev.response > 1e-4, ev.response, 0.0))
+            for ev in levels
+        ]
+        import math
+        def _maxpool(a, rad):
+            if rad <= 0:
+                return a
+            w_ = 2 * rad + 1
+            a = jax.lax.reduce_window(a, 0.0, jax.lax.max, (w_, 1), (1, 1), "SAME")
+            return jax.lax.reduce_window(a, 0.0, jax.lax.max, (1, w_), (1, 1), "SAME")
+        for li in range(len(levels) - 1):
+            a, b = nms[li], nms[li + 1]
+            oa, ob = levels[li].octave, levels[li + 1].octave
+            r_base = max(levels[li].sigma, levels[li + 1].sigma)
+            ra_px = math.ceil(r_base / (2.0 ** oa)) + (1 if ob > oa else 0)
+            ha, wa = a.shape
+            b_at_a = (jnp.repeat(jnp.repeat(b, 2, 0), 2, 1)[:ha, :wa]
+                      if ob > oa else b)
+            sup_a = _maxpool(b_at_a, ra_px) > a
+            dil_a = _maxpool(a, ra_px)
+            if ob > oa:
+                hb, wb = b.shape
+                dil_a = jax.lax.reduce_window(
+                    jnp.pad(dil_a, ((0, 2 * hb - ha), (0, 2 * wb - wa))),
+                    0.0, jax.lax.max, (2, 2), (2, 2), "VALID")
+            nms[li] = jnp.where(sup_a, 0.0, a)
+            nms[li + 1] = jnp.where(dil_a >= b, 0.0, b)
+        sp_nms = patch_ops.stack_levels(nms)
+        flat = sp_nms.stacked.reshape(-1)
+        top_s, top_i = jax.lax.approx_max_k(flat, kp)
+        return top_s.sum() + (top_i % 7).sum()
+
+    t2b = chain_time(detect_through, img, feedback=lambda out, x: x + out * 0.0)
+    print(f"  + raster suppression + stacked approx topk   {t2b*1e3:7.2f} ms")
+
     # 3) full akaze detect+describe
     def full(x):
         f = akaze.detect_and_describe_akaze(x, opts)
@@ -114,6 +157,8 @@ def main():
 
     t2 = chain_time(full, img, feedback=lambda out, x: x + out * 0.0)
     print(f"FULL detect_and_describe_akaze                 {t2*1e3:7.2f} ms")
+    print(f"  (describe tail = FULL - detection prefix:    "
+          f"{(t2 - t2b)*1e3:7.2f} ms)")
 
 
 if __name__ == "__main__":

@@ -136,6 +136,39 @@ class TestPipeline:
                 np.asarray(fb.desc[i])[v], np.asarray(f1.desc)[v]
             )
 
+    def test_sample_raster_kernel_matches_fallback(self, rng):
+        """Fused window-DMA + one-hot sampling kernel (interpret mode)
+        against the XLA extract+sample composition, including out-of-window
+        coordinates (must clamp identically) and multi-channel sources."""
+        from coloc_tpu.ops import patches as patch_ops
+
+        C, R, WP = 3, 160, 512
+        K, NS = 16, 37
+        srcs = jnp.asarray(rng.normal(size=(C, R, WP)), jnp.float32)
+        row0 = jnp.asarray(
+            rng.integers(0, (R - patch_ops.PH) // 8 + 1, K) * 8, jnp.int32
+        )
+        col0 = jnp.asarray(
+            rng.integers(0, (WP - patch_ops.PW) // 128 + 1, K) * 128,
+            jnp.int32,
+        )
+        lx = jnp.asarray(
+            rng.uniform(-3, patch_ops.PW + 3, (K, NS)), jnp.float32
+        )
+        ly = jnp.asarray(
+            rng.uniform(-3, patch_ops.PH + 3, (K, NS)), jnp.float32
+        )
+        out_kernel = patch_ops._sample_raster_pallas(
+            srcs.reshape(-1, WP), row0, col0, lx, ly, C, interpret=True
+        )
+        ref = jnp.stack([
+            patch_ops.sample_nearest(
+                patch_ops.extract_patches(srcs[c], row0, col0), lx, ly
+            )
+            for c in range(C)
+        ])
+        np.testing.assert_array_equal(np.asarray(out_kernel), np.asarray(ref))
+
     def test_fast_nms_pallas_interpret_matches_xla(self, rng):
         """Fused Pallas FAST+NMS kernel (interpret mode) against the XLA
         reference path, on a batch-stacked-raster-sized input."""
