@@ -153,26 +153,58 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     kp_sig = sig_table[kp_l]      # sigma in level-local pixels
 
     # --- per-keypoint sampling from stacked evolution rasters --------------
-    # L/Lx/Ly stack into one (3, R, WP) buffer with shared window geometry;
-    # orientation and MLDB samples ride the fused window-DMA + one-hot MXU
-    # kernel (ops/patches.sample_raster) — no per-keypoint patches ever touch
-    # HBM, the same machinery as the TRIP frontend.
+    # L/Lx/Ly stack into one row-stacked buffer; orientation and MLDB
+    # samples ride the fused window-DMA + one-hot MXU kernel
+    # (ops/patches.sample_raster_flat) — no per-keypoint patches ever touch
+    # HBM. Windows are NARROW (64 x 128): a 128-wide window at a
+    # 128-aligned column cannot always cover [x-26, x+26], so the buffer
+    # also holds 64-lane-shifted copies of each channel and a keypoint
+    # whose span crosses its tile boundary reads the shifted copy instead
+    # (selection below) — this halves both the window DMA traffic and the
+    # one-hot matmul MACs vs full (64, 256) windows. Sample reach from
+    # round(kp_x) is <= 20.1 px (descriptor 5*sigma*sqrt(2) <= 19.1 + 0.5px
+    # rounding; see ops/mldb.py), so every clamped sample stays inside the
+    # selected window: max local col = 46.1 + (a mod 128) <= 121.1 (normal,
+    # a mod 128 <= 75) or (a mod 128) - 17.9 <= 109.1 (shifted).
     sp_l = patch_ops.stack_levels([ev.L for ev in levels])
     sp_lx = patch_ops.stack_levels([ev.Lx for ev in levels])
     sp_ly = patch_ops.stack_levels([ev.Ly for ev in levels])
-    src3 = jnp.stack([sp_l.stacked, sp_lx.stacked, sp_ly.stacked])
+    R_img = sp_l.stacked.shape[0]
+
+    def shift64(x):  # drop the first 64 lanes, zero-pad the tail
+        return jnp.pad(x[:, 64:], ((0, 0), (0, 64)))
+
+    src6 = jnp.concatenate([
+        sp_l.stacked, sp_lx.stacked, sp_ly.stacked,
+        shift64(sp_l.stacked), shift64(sp_lx.stacked),
+        shift64(sp_ly.stacked),
+    ], axis=0)
     rb = jnp.asarray(sp_l.row_base)
     w_l = jnp.asarray(sp_l.widths)[kp_l].astype(jnp.float32)
     h_l = jnp.asarray(sp_l.heights)[kp_l].astype(jnp.float32)
-    row0, col0 = patch_ops.patch_origins(sp_l, kp_x, kp_y, kp_l)
+    row0, _ = patch_ops.patch_origins(sp_l, kp_x, kp_y, kp_l)
     row0_local = row0 - rb[kp_l]
+    # narrow-window column selection: leftmost needed column a, normal copy
+    # iff the 52-px span fits its 128-tile, else the 64-shifted copy
+    xi = jnp.round(kp_x).astype(jnp.int32)
+    a = jnp.maximum(xi - 26, 0)
+    m = a % 128
+    shift = m > 75
+    c0 = jnp.where(shift, ((a - 64) // 128) * 128, (a // 128) * 128)
+    col0_eff = c0 + jnp.where(shift, 64, 0)     # window col 0 in level coords
+    row0_dma = row0 + jnp.where(shift, 3 * R_img, 0)
+
+    def sampler(lx, ly):
+        return patch_ops.sample_raster_flat(
+            src6, R_img, row0_dma, c0, lx, ly, C=3, pw=128
+        )
 
     kp_angle = mldb.orientation(
-        src3, row0, kp_x, kp_y, kp_sig, w_l, h_l, col0, row0_local
+        sampler, kp_x, kp_y, kp_sig, w_l, h_l, col0_eff, row0_local
     )
     desc = mldb.describe_mldb(
-        src3, row0, kp_x, kp_y, kp_sig, kp_angle,
-        w_l, h_l, col0, row0_local,
+        sampler, kp_x, kp_y, kp_sig, kp_angle,
+        w_l, h_l, col0_eff, row0_local,
     )
 
     # --- base-resolution coordinates (octave upsampling) -------------------

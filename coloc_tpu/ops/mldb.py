@@ -15,17 +15,19 @@ Binary). Semantics:
     bank so the Hamming kernel is shared with TRIP-512.
 
 Sampling rides the fused window-DMA + one-hot MXU kernel
-(ops/patches.sample_raster): the L/Lx/Ly evolution rasters stack into one
-(3, R, WP) buffer, one 64x256 window per keypoint is DMA'd to VMEM, and
-every disc/grid sample is a one-hot matmul column evaluated in-kernel —
-per-keypoint patches and one-hot weights never touch HBM. The earlier
-flattened-pyramid gather formulation lowered to millions of scalar-indexed
-loads (~60 ms of an 86 ms frame at kp=5000 on v5e); the intermediate
-extract-patches + XLA one-hot einsum form still wrote ~GBs of one-hot /
-partial-product HBM intermediates at K=5000, NS=464. Sample reach fits the
-window margin: descriptor 5*sigma_px*sqrt(2) <= 19.1 px, orientation disc
-6*sigma_px <= 16.2 px, both < _MARGIN=26 (sigma_px in [1.6, 2.69] for
-every octave's sublevels).
+(ops/patches.sample_raster_flat): the L/Lx/Ly evolution rasters (plus
+64-lane-shifted copies, see akaze.py's window selection) stack into one
+row-stacked buffer, one narrow 64x128 window per keypoint is DMA'd to
+VMEM, and every disc/grid sample is a one-hot matmul column evaluated
+in-kernel — per-keypoint patches and one-hot weights never touch HBM. The
+earlier flattened-pyramid gather formulation lowered to millions of
+scalar-indexed loads (~60 ms of an 86 ms frame at kp=5000 on v5e); the
+intermediate extract-patches + XLA one-hot einsum form still wrote ~GBs
+of one-hot / partial-product HBM intermediates at K=5000, NS=464. Sample
+reach fits the window: descriptor 5*sigma_px*sqrt(2) <= 19.1 px,
+orientation disc 6*sigma_px <= 16.2 px (sigma_px in [1.6, 2.69] for every
+octave's sublevels), both under the 26 px margin the window selection in
+akaze.py guarantees.
 """
 
 from __future__ import annotations
@@ -33,10 +35,8 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
-from coloc_tpu.ops import patches as patch_ops
 from coloc_tpu.ops.hamming import pack_bits
 
 _ORI_BINS = 30
@@ -64,17 +64,18 @@ _DISC = _disc_offsets()
 
 
 def orientation(
-    src3, row0,                  # (3, R, WP) L/Lx/Ly stack + (K,) window rows
+    sampler,                     # (lx, ly) -> (3, K, NS) L/Lx/Ly samples
     kp_x, kp_y, kp_sigma_px,     # (K,) level-local coords / sigma
     w_l, h_l,                    # (K,) level extents (float, for clamping)
-    col0, row0_local,            # (K,) patch origins (level-local)
+    col0, row0_local,            # (K,) window origins (level-local)
 ) -> jnp.ndarray:
     """Dominant-gradient orientation per keypoint, (K,) radians.
 
-    Samples ride the fused window-DMA + one-hot MXU kernel
-    (patches.sample_raster); the L channel rides along unused (NS=49 makes
-    the extra channel ~free, and one 3-channel call shares the window DMAs
-    and one-hot build with the path describe_mldb takes).
+    `sampler` is the fused window-DMA + one-hot MXU sampling closure built
+    by the caller (patches.sample_raster_flat over the L/Lx/Ly stack); the
+    L channel rides along unused (NS=49 makes the extra channel ~free, and
+    one 3-channel call shares the window DMAs and one-hot build with the
+    path describe_mldb takes).
     """
     disc = jnp.asarray(_DISC)                    # (P, 2)
     sx = kp_x[:, None] + kp_sigma_px[:, None] * disc[None, :, 0]
@@ -83,7 +84,7 @@ def orientation(
     sy = jnp.clip(sy, 0.0, (h_l - 1.0)[:, None])
     lx = sx - col0.astype(jnp.float32)[:, None]
     ly = sy - row0_local.astype(jnp.float32)[:, None]
-    _, gx, gy = patch_ops.sample_raster(src3, row0, col0, lx, ly)  # (K, P)
+    _, gx, gy = sampler(lx, ly)                  # (K, P)
 
     ang = jnp.arctan2(gy, gx)                    # (K, P)
     bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * _ORI_BINS).astype(jnp.int32)
@@ -144,7 +145,7 @@ _COORDS, _CELL_OF, _PAIRS, _NUM_CELLS = _grid_cells()
 
 
 def describe_mldb(
-    src3, row0,                  # (3, R, WP) L/Lx/Ly stack + (K,) window rows
+    sampler,                     # (lx, ly) -> (3, K, NS) L/Lx/Ly samples
     kp_x, kp_y, kp_sigma_px, kp_angle,
     w_l, h_l, col0, row0_local,
 ) -> jnp.ndarray:
@@ -162,7 +163,7 @@ def describe_mldb(
     lx = sx - col0.astype(jnp.float32)[:, None]
     ly = sy - row0_local.astype(jnp.float32)[:, None]
 
-    L, Gx, Gy = patch_ops.sample_raster(src3, row0, col0, lx, ly)  # (K, N)
+    L, Gx, Gy = sampler(lx, ly)                         # (K, N)
     # steered derivatives (rotate the gradient into the patch frame)
     Dx = ca[:, None] * Gx + sa[:, None] * Gy
     Dy = -sa[:, None] * Gx + ca[:, None] * Gy

@@ -213,16 +213,16 @@ def extract_patches(src: jnp.ndarray, row0: jnp.ndarray, col0: jnp.ndarray
     )(row0, col0)
 
 
-def _sample_raster_kernel(C, R, kb, row0_ref, col0_ref, src_hbm, lx_ref,
-                          ly_ref, out_ref, win, sems):
+def _sample_raster_kernel(C, stride, kb, pw, row0_ref, col0_ref, src_hbm,
+                          lx_ref, ly_ref, out_ref, win, sems):
     """Fused window-DMA + one-hot MXU sampling, all intermediates in VMEM.
 
-    Per keypoint j and channel c: DMA the (PH, PW) window at
-    (row0[j] + c*R, col0[j]) from the channel-stacked (C*R, WP) raster, then
-    sample = reduce_rows(rowhot (PH, NS) * (win (PH, PW) @ colhot (PW, NS))).
+    Per keypoint j and channel c: DMA the (PH, pw) window at
+    (row0[j] + c*stride, col0[j]) from the channel-stacked raster, then
+    sample = reduce_rows(rowhot (PH, NS) * (win (PH, pw) @ colhot (pw, NS))).
     The sample axis NS stays on LANES throughout (one-hots are built from
     (1, NS) coordinate rows), so no sublane<->lane relayouts; the matmul is
-    an MXU-friendly (PH, PW) x (PW, NS) bf16 pass. This replaces the XLA
+    an MXU-friendly (PH, pw) x (pw, NS) bf16 pass. This replaces the XLA
     extract+sample path whose (K, NS, PW) one-hot and (K, NS, PH) partial
     intermediates cost gigabytes of HBM traffic at K=5000, NS=464 (~20 ms of
     the AKAZE frame on v5e; the fused kernel leaves only the window reads).
@@ -236,7 +236,7 @@ def _sample_raster_kernel(C, R, kb, row0_ref, col0_ref, src_hbm, lx_ref,
         c0 = (col0_ref[k] // 128) * 128
         for c in range(C):
             cp = pltpu.make_async_copy(
-                src_hbm.at[pl.ds(r0 + c * R, PH), pl.ds(c0, PW)],
+                src_hbm.at[pl.ds(r0 + c * stride, PH), pl.ds(c0, pw)],
                 win.at[j, c],
                 sems.at[j, c],
             )
@@ -245,31 +245,40 @@ def _sample_raster_kernel(C, R, kb, row0_ref, col0_ref, src_hbm, lx_ref,
     for j in range(kb):
         # coords as (1, NS) lane rows — matches sample_nearest's
         # clip-then-round (round ties even, same as the fallback)
-        ci = jnp.round(jnp.clip(lx_ref[j : j + 1], 0, PW - 1)
+        ci = jnp.round(jnp.clip(lx_ref[j : j + 1], 0, pw - 1)
                        ).astype(jnp.int32)                       # (1, NS)
         ri = jnp.round(jnp.clip(ly_ref[j : j + 1], 0, PH - 1)
                        ).astype(jnp.int32)
         colhot = (
-            jax.lax.broadcasted_iota(jnp.int32, (PW, NS), 0) == ci
+            jax.lax.broadcasted_iota(jnp.int32, (pw, NS), 0) == ci
         ).astype(jnp.bfloat16)
         rowhot = (
             jax.lax.broadcasted_iota(jnp.int32, (PH, NS), 0) == ri
         ).astype(jnp.float32)
         for c in range(C):
             copies[j * C + c].wait()
-            q = jax.lax.dot_general(
-                win[j, c].astype(jnp.bfloat16), colhot,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )                                                    # (PH, NS)
-            out_ref[c, j] = jnp.sum(q * rowhot, axis=0)
+        # ONE (C*PH, pw) x (pw, NS) matmul per keypoint: the C channel
+        # windows are contiguous sublane rows, so the merge is free, and
+        # per-matmul issue overhead dominates these small shapes (measured:
+        # 3 separate 64-row dots cost ~2x the merged 192-row dot)
+        w3 = win[j].astype(jnp.bfloat16).reshape(C * PH, pw)
+        q = jax.lax.dot_general(
+            w3, colhot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )                                                        # (C*PH, NS)
+        for c in range(C):
+            out_ref[c, j] = jnp.sum(
+                q[c * PH : (c + 1) * PH] * rowhot, axis=0
+            )
 
 
-@functools.partial(jax.jit, static_argnames=("C", "interpret"))
-def _sample_raster_pallas(src2, row0, col0, lx, ly, C, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("C", "stride", "pw", "interpret"))
+def _sample_raster_pallas(src2, row0, col0, lx, ly, C, stride, pw,
+                          interpret=False):
     K, NS = lx.shape
-    R = src2.shape[0] // C
     kb = _KB if K % _KB == 0 else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -281,17 +290,48 @@ def _sample_raster_pallas(src2, row0, col0, lx, ly, C, interpret=False):
         ],
         out_specs=pl.BlockSpec((C, kb, NS), lambda i, r, c: (0, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((kb, C, PH, PW), src2.dtype),
+            pltpu.VMEM((kb, C, PH, pw), src2.dtype),
             pltpu.SemaphoreType.DMA((kb, C)),
         ],
     )
-    kernel = functools.partial(_sample_raster_kernel, C, R, kb)
+    kernel = functools.partial(_sample_raster_kernel, C, stride, kb, pw)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, K, NS), jnp.float32),
         interpret=interpret,
     )(row0, col0, src2, lx, ly)
+
+
+def sample_raster_flat(
+    src2: jnp.ndarray,       # (n_rasters * stride, WP) row-stacked rasters
+    stride: int,             # rows per raster; channel c reads row0+c*stride
+    row0: jnp.ndarray,       # (K,) 8-aligned window origins (may pre-add a
+    col0: jnp.ndarray,       # raster offset, e.g. the lane-shifted copies)
+    lx: jnp.ndarray,         # (K, NS) window-local float col coords
+    ly: jnp.ndarray,         # (K, NS) window-local float row coords
+    C: int = 1,
+    pw: int = PW,            # window width (128-multiple)
+) -> jnp.ndarray:
+    """Nearest samples of C channels at shared coords -> (C, K, NS) f32.
+
+    Same values as a per-channel dynamic-slice + one-hot sample composition
+    (the CPU fallback IS that composition), but on TPU a single fused Pallas
+    pass with no HBM intermediates.
+    """
+    if use_pallas() or interpret_mode():
+        return _sample_raster_pallas(
+            src2, row0, col0, lx, ly, C, stride, pw,
+            interpret=interpret_mode(),
+        )
+    outs = []
+    for c in range(C):
+        P = jax.vmap(
+            lambda r, cc, c=c: jax.lax.dynamic_slice(
+                src2, (r + c * stride, cc), (PH, pw))
+        )(row0, col0)
+        outs.append(sample_nearest(P, lx, ly))
+    return jnp.stack(outs)
 
 
 def sample_raster(
@@ -301,21 +341,12 @@ def sample_raster(
     lx: jnp.ndarray,         # (K, NS) window-local float col coords
     ly: jnp.ndarray,         # (K, NS) window-local float row coords
 ) -> jnp.ndarray:
-    """Nearest samples of C channels at shared coords -> (C, K, NS) f32.
-
-    Same values as extract_patches + sample_nearest per channel (the CPU
-    fallback IS that composition), but on TPU a single fused Pallas pass.
-    """
-    C = srcs.shape[0]
-    if use_pallas() or interpret_mode():
-        return _sample_raster_pallas(
-            srcs.reshape(-1, srcs.shape[2]), row0, col0, lx, ly, C,
-            interpret=interpret_mode(),
-        )
-    return jnp.stack([
-        sample_nearest(extract_patches(srcs[c], row0, col0), lx, ly)
-        for c in range(C)
-    ])
+    """sample_raster_flat over a (C, R, WP) channel stack, full-width
+    windows — same values as extract_patches + sample_nearest per channel."""
+    C, R, WP_ = srcs.shape
+    return sample_raster_flat(
+        srcs.reshape(-1, WP_), R, row0, col0, lx, ly, C=C, pw=PW
+    )
 
 
 def sample_nearest(
@@ -341,10 +372,11 @@ def sample_nearest(
     discretization error.
     """
     K, NS = lx.shape
-    ci = jnp.round(jnp.clip(lx, 0, PW - 1))
-    ri = jnp.round(jnp.clip(ly, 0, PH - 1))
-    col_iota = jax.lax.broadcasted_iota(jnp.float32, (1, 1, PW), 2)
-    row_iota = jax.lax.broadcasted_iota(jnp.float32, (1, 1, PH), 2)
+    ph, pw = patches.shape[1], patches.shape[2]
+    ci = jnp.round(jnp.clip(lx, 0, pw - 1))
+    ri = jnp.round(jnp.clip(ly, 0, ph - 1))
+    col_iota = jax.lax.broadcasted_iota(jnp.float32, (1, 1, pw), 2)
+    row_iota = jax.lax.broadcasted_iota(jnp.float32, (1, 1, ph), 2)
     cw = (col_iota == ci[:, :, None]).astype(jnp.bfloat16)     # (K, NS, PW)
     rw = (row_iota == ri[:, :, None]).astype(jnp.float32)      # (K, NS, PH)
     q = jnp.einsum(

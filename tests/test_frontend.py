@@ -159,7 +159,8 @@ class TestPipeline:
             rng.uniform(-3, patch_ops.PH + 3, (K, NS)), jnp.float32
         )
         out_kernel = patch_ops._sample_raster_pallas(
-            srcs.reshape(-1, WP), row0, col0, lx, ly, C, interpret=True
+            srcs.reshape(-1, WP), row0, col0, lx, ly, C, R, patch_ops.PW,
+            interpret=True
         )
         ref = jnp.stack([
             patch_ops.sample_nearest(
@@ -168,6 +169,54 @@ class TestPipeline:
             for c in range(C)
         ])
         np.testing.assert_array_equal(np.asarray(out_kernel), np.asarray(ref))
+
+    def test_sample_raster_flat_narrow_window(self, rng):
+        """Narrow (pw=128) windows through sample_raster_flat: the Pallas
+        kernel (interpret mode) and the CPU fallback must agree with a
+        direct per-channel dynamic-slice + nearest-sample composition."""
+        from coloc_tpu.ops import patches as patch_ops
+
+        C, R, WP, pw = 3, 160, 512, 128
+        K, NS = 16, 37
+        srcs = jnp.asarray(rng.normal(size=(C, R, WP)), jnp.float32)
+        src2 = srcs.reshape(-1, WP)
+        row0 = jnp.asarray(
+            rng.integers(0, (R - patch_ops.PH) // 8 + 1, K) * 8, jnp.int32
+        )
+        col0 = jnp.asarray(
+            rng.integers(0, (WP - pw) // 128 + 1, K) * 128, jnp.int32
+        )
+        lx = jnp.asarray(rng.uniform(-3, pw + 3, (K, NS)), jnp.float32)
+        ly = jnp.asarray(
+            rng.uniform(-3, patch_ops.PH + 3, (K, NS)), jnp.float32
+        )
+        out_kernel = patch_ops._sample_raster_pallas(
+            src2, row0, col0, lx, ly, C, R, pw, interpret=True
+        )
+        out_fallback = patch_ops.sample_raster_flat(
+            src2, R, row0, col0, lx, ly, C=C, pw=pw
+        )
+        ci = np.round(np.clip(np.asarray(lx), 0, pw - 1)).astype(int)
+        ri = np.round(
+            np.clip(np.asarray(ly), 0, patch_ops.PH - 1)
+        ).astype(int)
+        srcs_np = np.asarray(srcs)
+        r0, c0 = np.asarray(row0), np.asarray(col0)
+        ref = np.stack([
+            np.stack([
+                srcs_np[c, r0[k] + ri[k], c0[k] + ci[k]] for k in range(K)
+            ])
+            for c in range(C)
+        ])
+        # kernel and fallback must agree bit-exactly (both take the same
+        # documented bf16 value-quantization in the one-hot contraction)
+        np.testing.assert_array_equal(
+            np.asarray(out_kernel), np.asarray(out_fallback)
+        )
+        # against the raw f32 source, agreement is to bf16 value precision
+        np.testing.assert_allclose(
+            np.asarray(out_kernel), ref, rtol=5e-3, atol=5e-3
+        )
 
     def test_fast_nms_pallas_interpret_matches_xla(self, rng):
         """Fused Pallas FAST+NMS kernel (interpret mode) against the XLA
