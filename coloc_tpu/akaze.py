@@ -194,16 +194,32 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     col0_eff = c0 + jnp.where(shift, 64, 0)     # window col 0 in level coords
     row0_dma = row0 + jnp.where(shift, 3 * R_img, 0)
 
-    def sampler(lx, ly):
+    def sampler3(lx, ly):
         return patch_ops.sample_raster_flat(
             src6, R_img, row0_dma, c0, lx, ly, C=3, pw=128
         )
 
+    # orientation-only sampler: the disc reaches 6*sigma <= 16.7 px from
+    # round(kp_y), so a 48-row window suffices; its 8-aligned offset inside
+    # the 64-row patch covers [y-17, y+17] in every patch_origins clamp case
+    # (normal offset in [27,34] -> ro in [8,16]; top clamp -> ro=0; bottom
+    # clamp -> ro=16 with samples clamped to the level edge at local 63).
+    # Channels are Lx/Ly only (base offset +R_img skips L): DMA volume is
+    # 2/3 * 48/64 = half of a 3-channel 64-row pass.
+    yi_rel = jnp.round(kp_y).astype(jnp.int32) - row0_local
+    ro = jnp.clip(((yi_rel - 17) // 8) * 8, 0, 16)
+    row0_ori = row0_dma + R_img + ro
+
+    def sampler2(lx, ly):
+        return patch_ops.sample_raster_flat(
+            src6, R_img, row0_ori, c0, lx, ly, C=2, ph=48, pw=128
+        )
+
     kp_angle = mldb.orientation(
-        sampler, kp_x, kp_y, kp_sig, w_l, h_l, col0_eff, row0_local
+        sampler2, kp_x, kp_y, kp_sig, w_l, h_l, col0_eff, row0_local + ro
     )
     desc = mldb.describe_mldb(
-        sampler, kp_x, kp_y, kp_sig, kp_angle,
+        sampler3, kp_x, kp_y, kp_sig, kp_angle,
         w_l, h_l, col0_eff, row0_local,
     )
 

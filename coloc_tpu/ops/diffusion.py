@@ -19,11 +19,16 @@ Conventions follow the standard KAZE/AKAZE formulation:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from coloc_tpu.ops.dispatch import interpret_mode, use_pallas
 
 
 class Evolution(NamedTuple):
@@ -124,6 +129,157 @@ def _hessian_response(L: jnp.ndarray, sigma_px: float):
     # scales as sigma^4
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel: one whole octave of FED cycles in VMEM
+# ---------------------------------------------------------------------------
+#
+# The XLA path dispatches every FED step as its own fused stencil over HBM:
+# 66 steps/frame at the 4x4 preset cost ~2.8 ms on v5e (~42 us/step — launch
+# + HBM-round-trip bound; the arithmetic itself is ~0.2 ms of VPU work). The
+# kernel runs an octave's full evolution (4 cycles: Scharr -> conductivity ->
+# FED steps) on a row band held in VMEM, so L round-trips HBM once per OCTAVE
+# instead of once per step. Per-step edge semantics are preserved exactly:
+# every neighbor access clamps at the true image border (global-coordinate
+# `where`), matching `jnp.pad(mode="edge")`-then-shift of the XLA path.
+# Bands overlap by a halo of one row/col per stencil application (1 Scharr +
+# n diffusion steps per cycle) so band interiors are exact.
+
+
+def _octave_plan(H: int, W: int, cycles) -> Tuple[int, int, int, int]:
+    """(TH, nb, halo8, Wp): band rows, band count, 8-aligned halo, lane pad.
+
+    Bands split rows only (lanes stay whole: no lane halos). nb is the
+    smallest power of two keeping the ~12 live window-sized f32 buffers of
+    the longest cycle under the VMEM budget."""
+    halo = sum(len(taus) + 1 for taus in cycles)
+    halo8 = ((halo + 7) // 8) * 8
+    Wp = ((W + 127) // 128) * 128
+    nb = 1
+    while True:
+        TH = ((H + nb - 1) // nb + 7) // 8 * 8
+        if (TH + 2 * halo8) * Wp * 4 * 12 <= 12_000_000 or nb >= 8:
+            return TH, nb, halo8, Wp
+        nb *= 2
+
+
+def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles):
+    WH = TH + 2 * halo8
+
+    def kernel(Lp_hbm, k2_ref, out_ref, win, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            Lp_hbm.at[pl.ds(i * TH, WH), pl.ds(0, Wp)], win, sem
+        )
+        cp.start()
+        cp.wait()
+
+        gy = (
+            jax.lax.broadcasted_iota(jnp.int32, (WH, Wp), 0)
+            + i * TH - halo8
+        )
+        gx = jax.lax.broadcasted_iota(jnp.int32, (WH, Wp), 1)
+
+        def roll(a, d, axis):
+            return pltpu.roll(a, (-d) % a.shape[axis], axis)
+
+        # edge-clamped neighbor views (value at (gy+dy, gx+dx) clamped to
+        # the image rectangle — identical to pad(mode="edge") + shift)
+        def shift_rows(a, dy):
+            if dy == 0:
+                return a
+            r = roll(a, dy, 0)
+            return jnp.where(gy <= 0, a, r) if dy < 0 else jnp.where(
+                gy >= H - 1, a, r
+            )
+
+        def shift_cols(a, dx):
+            if dx == 0:
+                return a
+            r = roll(a, dx, 1)
+            return jnp.where(gx <= 0, a, r) if dx < 0 else jnp.where(
+                gx >= W - 1, a, r
+            )
+
+        k2 = k2_ref[0]
+        L = win[:]
+        for s, taus in enumerate(cycles):
+            # Scharr (same stencil/order as _scharr)
+            rows = {dy: shift_rows(L, dy) for dy in (-1, 0, 1)}
+            n = {
+                (dy, dx): shift_cols(rows[dy], dx)
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if (dy, dx) != (0, 0)
+            }
+            sgx = (
+                3.0 * (n[(-1, 1)] - n[(-1, -1)])
+                + 10.0 * (n[(0, 1)] - n[(0, -1)])
+                + 3.0 * (n[(1, 1)] - n[(1, -1)])
+            ) / 32.0
+            sgy = (
+                3.0 * (n[(1, -1)] - n[(-1, -1)])
+                + 10.0 * (n[(1, 0)] - n[(-1, 0)])
+                + 3.0 * (n[(1, 1)] - n[(-1, 1)])
+            ) / 32.0
+            g = 1.0 / (1.0 + (sgx * sgx + sgy * sgy) / k2)
+            # half-grid conductivities, fixed across the cycle (FED parity)
+            g_e = 0.5 * (g + shift_cols(g, 1))
+            g_w = 0.5 * (g + shift_cols(g, -1))
+            g_s = 0.5 * (g + shift_rows(g, 1))
+            g_n = 0.5 * (g + shift_rows(g, -1))
+            for tau in taus:
+                flux = (
+                    g_e * (shift_cols(L, 1) - L)
+                    + g_w * (shift_cols(L, -1) - L)
+                    + g_s * (shift_rows(L, 1) - L)
+                    + g_n * (shift_rows(L, -1) - L)
+                )
+                L = L + tau * flux
+            out_ref[s] = L[halo8 : halo8 + TH, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "cycles", "interpret")
+)
+def fed_octave_pallas(
+    L: jnp.ndarray,          # (H, W) current-octave base image
+    k2: jnp.ndarray,         # () squared contrast factor
+    H: int,
+    W: int,
+    cycles,                  # tuple of tuples of static tau step sizes
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All FED cycles of one octave fused -> (S, H, W) per-sublevel L."""
+    S = len(cycles)
+    TH, nb, halo8, Wp = _octave_plan(H, W, cycles)
+    Hp = nb * TH
+    Lp = jnp.pad(
+        L,
+        ((halo8, halo8 + Hp - H), (0, Wp - W)),
+        mode="edge",
+    )
+    out = pl.pallas_call(
+        _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (S, TH, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, Hp, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2 * halo8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(Lp, jnp.asarray(k2, jnp.float32).reshape(1))
+    return out[:, :H, :W]
+
+
 def build_scale_space(
     image: jnp.ndarray,
     num_octaves: int = 4,
@@ -145,32 +301,51 @@ def build_scale_space(
     levels: List[Evolution] = []
     L = img
     t_prev = 0.5 * 0.5 ** 2  # assume camera blur sigma ~0.5
+    fused = use_pallas() or interpret_mode()
     for o in range(num_octaves):
+        # static per-octave schedule: (sigma, tau cycle) per sublevel.
+        # Time is advanced on the CURRENT octave's grid: downsampling by 2
+        # scales time by 4.
+        grid_scale = 4.0 ** o
+        sigmas, cycles = [], []
         for s in range(num_sublevels):
             sigma = sigma0 * (2.0 ** (o + s / num_sublevels))
             t = 0.5 * sigma * sigma
-            # time is advanced on the CURRENT octave's grid: downsampling by
-            # 2 scales time by 4
-            grid_scale = 4.0 ** o
             dt = max((t - t_prev) / grid_scale, 1e-4)
-            # FED semantics (and OpenMVG AKAZE parity): the conductivity is
-            # computed ONCE per cycle and held FIXED across the cycle's
-            # explicit steps — the varying tau schedule is only stable as a
-            # cycle of steps of one linear operator. (Recomputing g per
-            # step, as an earlier revision did, is both off-parity and ~2x
-            # the arithmetic: a Scharr pair + conductivity per step.)
-            gx, gy = _scharr(L)
-            g = 1.0 / (1.0 + (gx * gx + gy * gy) / k2)
-            for tau in fed_tau_cycle(dt):
-                L = _diffusion_step(L, g, tau)
+            sigmas.append(sigma)
+            cycles.append(tuple(fed_tau_cycle(dt)))
             t_prev = t
 
-            sigma_px = sigma / (2.0 ** o)  # scale in this octave's pixels
-            resp, Lx, Ly = _hessian_response(L, sigma_px)
-            levels.append(
-                Evolution(L=L, Lx=Lx, Ly=Ly, response=resp, sigma=sigma,
-                          octave=o)
+        h, w = L.shape
+        if fused:
+            # whole octave in one Pallas launch (L round-trips HBM once per
+            # octave, not once per FED step)
+            Ls = fed_octave_pallas(
+                L, k2, h, w, tuple(cycles), interpret=interpret_mode()
             )
+            sub_L = [Ls[s] for s in range(num_sublevels)]
+        else:
+            # XLA reference path: per-step stencils. FED semantics (and
+            # OpenMVG AKAZE parity): the conductivity is computed ONCE per
+            # cycle and held FIXED across the cycle's explicit steps — the
+            # varying tau schedule is only stable as a cycle of steps of one
+            # linear operator.
+            sub_L = []
+            for taus in cycles:
+                gx, gy = _scharr(L)
+                g = 1.0 / (1.0 + (gx * gx + gy * gy) / k2)
+                for tau in taus:
+                    L = _diffusion_step(L, g, tau)
+                sub_L.append(L)
+
+        for s in range(num_sublevels):
+            sigma_px = sigmas[s] / (2.0 ** o)  # scale in octave pixels
+            resp, Lx, Ly = _hessian_response(sub_L[s], sigma_px)
+            levels.append(
+                Evolution(L=sub_L[s], Lx=Lx, Ly=Ly, response=resp,
+                          sigma=sigmas[s], octave=o)
+            )
+        L = sub_L[-1]
         if o + 1 < num_octaves:
             # downsample by 2 for the next octave
             L = L[::2, ::2]

@@ -64,7 +64,7 @@ _DISC = _disc_offsets()
 
 
 def orientation(
-    sampler,                     # (lx, ly) -> (3, K, NS) L/Lx/Ly samples
+    sampler,                     # (lx, ly) -> (2, K, NS) Lx/Ly samples
     kp_x, kp_y, kp_sigma_px,     # (K,) level-local coords / sigma
     w_l, h_l,                    # (K,) level extents (float, for clamping)
     col0, row0_local,            # (K,) window origins (level-local)
@@ -72,10 +72,11 @@ def orientation(
     """Dominant-gradient orientation per keypoint, (K,) radians.
 
     `sampler` is the fused window-DMA + one-hot MXU sampling closure built
-    by the caller (patches.sample_raster_flat over the L/Lx/Ly stack); the
-    L channel rides along unused (NS=49 makes the extra channel ~free, and
-    one 3-channel call shares the window DMAs and one-hot build with the
-    path describe_mldb takes).
+    by the caller (patches.sample_raster_flat over the Lx/Ly stack only —
+    the orientation disc reaches 6*sigma <= 16.2 px, so the caller gives
+    this pass NARROW 48-row 2-channel windows: the window DMA traffic is
+    what dominates the sampling kernel at K=5000, and dropping L + 16 rows
+    cuts it 3x vs sharing describe_mldb's 3-channel 64-row call).
     """
     disc = jnp.asarray(_DISC)                    # (P, 2)
     sx = kp_x[:, None] + kp_sigma_px[:, None] * disc[None, :, 0]
@@ -84,7 +85,7 @@ def orientation(
     sy = jnp.clip(sy, 0.0, (h_l - 1.0)[:, None])
     lx = sx - col0.astype(jnp.float32)[:, None]
     ly = sy - row0_local.astype(jnp.float32)[:, None]
-    _, gx, gy = sampler(lx, ly)                  # (K, P)
+    gx, gy = sampler(lx, ly)                     # (K, P)
 
     ang = jnp.arctan2(gy, gx)                    # (K, P)
     bins = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * _ORI_BINS).astype(jnp.int32)

@@ -213,13 +213,13 @@ def extract_patches(src: jnp.ndarray, row0: jnp.ndarray, col0: jnp.ndarray
     )(row0, col0)
 
 
-def _sample_raster_kernel(C, stride, kb, pw, row0_ref, col0_ref, src_hbm,
-                          lx_ref, ly_ref, out_ref, win, sems):
+def _sample_raster_kernel(C, stride, kb, ph, pw, row0_ref, col0_ref,
+                          src_hbm, lx_ref, ly_ref, out_ref, win, sems):
     """Fused window-DMA + one-hot MXU sampling, all intermediates in VMEM.
 
-    Per keypoint j and channel c: DMA the (PH, pw) window at
+    Per keypoint j and channel c: DMA the (ph, pw) window at
     (row0[j] + c*stride, col0[j]) from the channel-stacked raster, then
-    sample = reduce_rows(rowhot (PH, NS) * (win (PH, pw) @ colhot (pw, NS))).
+    sample = reduce_rows(rowhot (ph, NS) * (win (ph, pw) @ colhot (pw, NS))).
     The sample axis NS stays on LANES throughout (one-hots are built from
     (1, NS) coordinate rows), so no sublane<->lane relayouts; the matmul is
     an MXU-friendly (PH, pw) x (pw, NS) bf16 pass. This replaces the XLA
@@ -236,7 +236,7 @@ def _sample_raster_kernel(C, stride, kb, pw, row0_ref, col0_ref, src_hbm,
         c0 = (col0_ref[k] // 128) * 128
         for c in range(C):
             cp = pltpu.make_async_copy(
-                src_hbm.at[pl.ds(r0 + c * stride, PH), pl.ds(c0, pw)],
+                src_hbm.at[pl.ds(r0 + c * stride, ph), pl.ds(c0, pw)],
                 win.at[j, c],
                 sems.at[j, c],
             )
@@ -247,21 +247,21 @@ def _sample_raster_kernel(C, stride, kb, pw, row0_ref, col0_ref, src_hbm,
         # clip-then-round (round ties even, same as the fallback)
         ci = jnp.round(jnp.clip(lx_ref[j : j + 1], 0, pw - 1)
                        ).astype(jnp.int32)                       # (1, NS)
-        ri = jnp.round(jnp.clip(ly_ref[j : j + 1], 0, PH - 1)
+        ri = jnp.round(jnp.clip(ly_ref[j : j + 1], 0, ph - 1)
                        ).astype(jnp.int32)
         colhot = (
             jax.lax.broadcasted_iota(jnp.int32, (pw, NS), 0) == ci
         ).astype(jnp.bfloat16)
         rowhot = (
-            jax.lax.broadcasted_iota(jnp.int32, (PH, NS), 0) == ri
+            jax.lax.broadcasted_iota(jnp.int32, (ph, NS), 0) == ri
         ).astype(jnp.float32)
         for c in range(C):
             copies[j * C + c].wait()
-        # ONE (C*PH, pw) x (pw, NS) matmul per keypoint: the C channel
+        # ONE (C*ph, pw) x (pw, NS) matmul per keypoint: the C channel
         # windows are contiguous sublane rows, so the merge is free, and
         # per-matmul issue overhead dominates these small shapes (measured:
         # 3 separate 64-row dots cost ~2x the merged 192-row dot)
-        w3 = win[j].astype(jnp.bfloat16).reshape(C * PH, pw)
+        w3 = win[j].astype(jnp.bfloat16).reshape(C * ph, pw)
         q = jax.lax.dot_general(
             w3, colhot,
             (((1,), (0,)), ((), ())),
@@ -270,13 +270,13 @@ def _sample_raster_kernel(C, stride, kb, pw, row0_ref, col0_ref, src_hbm,
         )                                                        # (C*PH, NS)
         for c in range(C):
             out_ref[c, j] = jnp.sum(
-                q[c * PH : (c + 1) * PH] * rowhot, axis=0
+                q[c * ph : (c + 1) * ph] * rowhot, axis=0
             )
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("C", "stride", "pw", "interpret"))
-def _sample_raster_pallas(src2, row0, col0, lx, ly, C, stride, pw,
+                   static_argnames=("C", "stride", "ph", "pw", "interpret"))
+def _sample_raster_pallas(src2, row0, col0, lx, ly, C, stride, ph, pw,
                           interpret=False):
     K, NS = lx.shape
     kb = _KB if K % _KB == 0 else 1
@@ -290,11 +290,11 @@ def _sample_raster_pallas(src2, row0, col0, lx, ly, C, stride, pw,
         ],
         out_specs=pl.BlockSpec((C, kb, NS), lambda i, r, c: (0, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((kb, C, PH, pw), src2.dtype),
+            pltpu.VMEM((kb, C, ph, pw), src2.dtype),
             pltpu.SemaphoreType.DMA((kb, C)),
         ],
     )
-    kernel = functools.partial(_sample_raster_kernel, C, stride, kb, pw)
+    kernel = functools.partial(_sample_raster_kernel, C, stride, kb, ph, pw)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -311,6 +311,7 @@ def sample_raster_flat(
     lx: jnp.ndarray,         # (K, NS) window-local float col coords
     ly: jnp.ndarray,         # (K, NS) window-local float row coords
     C: int = 1,
+    ph: int = PH,            # window rows (8-multiple)
     pw: int = PW,            # window width (128-multiple)
 ) -> jnp.ndarray:
     """Nearest samples of C channels at shared coords -> (C, K, NS) f32.
@@ -321,14 +322,14 @@ def sample_raster_flat(
     """
     if use_pallas() or interpret_mode():
         return _sample_raster_pallas(
-            src2, row0, col0, lx, ly, C, stride, pw,
+            src2, row0, col0, lx, ly, C, stride, ph, pw,
             interpret=interpret_mode(),
         )
     outs = []
     for c in range(C):
         P = jax.vmap(
             lambda r, cc, c=c: jax.lax.dynamic_slice(
-                src2, (r + c * stride, cc), (PH, pw))
+                src2, (r + c * stride, cc), (ph, pw))
         )(row0, col0)
         outs.append(sample_nearest(P, lx, ly))
     return jnp.stack(outs)

@@ -159,8 +159,8 @@ class TestPipeline:
             rng.uniform(-3, patch_ops.PH + 3, (K, NS)), jnp.float32
         )
         out_kernel = patch_ops._sample_raster_pallas(
-            srcs.reshape(-1, WP), row0, col0, lx, ly, C, R, patch_ops.PW,
-            interpret=True
+            srcs.reshape(-1, WP), row0, col0, lx, ly, C, R,
+            patch_ops.PH, patch_ops.PW, interpret=True
         )
         ref = jnp.stack([
             patch_ops.sample_nearest(
@@ -191,7 +191,8 @@ class TestPipeline:
             rng.uniform(-3, patch_ops.PH + 3, (K, NS)), jnp.float32
         )
         out_kernel = patch_ops._sample_raster_pallas(
-            src2, row0, col0, lx, ly, C, R, pw, interpret=True
+            src2, row0, col0, lx, ly, C, R, patch_ops.PH, pw,
+            interpret=True
         )
         out_fallback = patch_ops.sample_raster_flat(
             src2, R, row0, col0, lx, ly, C=C, pw=pw
