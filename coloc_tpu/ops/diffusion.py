@@ -63,19 +63,40 @@ def _scharr(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return gx, gy
 
 
-def contrast_factor(image: jnp.ndarray, percentile: float = 70.0) -> jnp.ndarray:
-    """k = percentile of nonzero gradient magnitudes (KAZE's KPercentile)."""
+def contrast_factor(
+    image: jnp.ndarray, percentile: float = 70.0, nbins: int = 300
+) -> jnp.ndarray:
+    """k = percentile of nonzero gradient magnitudes.
+
+    OpenMVG/KAZE parity (Compute_Contrast_Factor): a 300-bin histogram of
+    gradient magnitudes, k = hmax * b / nbins at the first bin b whose
+    cumulative count reaches the percentile. The histogram form is also the
+    TPU-native choice: a full-sort `jnp.quantile` over the image costs
+    ~0.7 ms at 752x480 on v5e, the fused compare-reduce histogram ~0.1 ms.
+    """
     gx, gy = _scharr(image)
     mag = jnp.sqrt(gx * gx + gy * gy)
-    # percentile over positive magnitudes; use a masked quantile
-    flat = mag.reshape(-1)
-    pos = flat > 1e-6
-    # replace non-positives with +inf so they land above the percentile,
-    # then adjust the quantile fraction by the positive count
-    n = flat.shape[0]
+    pos = mag > 1e-6
+    hmax = jnp.maximum(jnp.max(mag), 1e-6)
+    idx = jnp.minimum((mag / hmax * nbins).astype(jnp.int32), nbins - 1)
     npos = jnp.sum(pos.astype(jnp.int32))
-    q = (percentile / 100.0) * npos.astype(jnp.float32) / n
-    k = jnp.quantile(jnp.where(pos, flat, 0.0), jnp.clip(q + (1 - npos / n), 0, 1))
+    target = (percentile / 100.0) * npos.astype(jnp.float32)
+    # first bin b with cumcount(idx <= b) >= target, by binary search:
+    # ceil(log2(nbins)) full-image reductions instead of a materialized
+    # (nbins, N) histogram or a full sort
+    steps = max(int(math.ceil(math.log2(nbins))), 1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        cnt = jnp.sum((pos & (idx <= mid)).astype(jnp.int32))
+        reached = cnt.astype(jnp.float32) >= target
+        return jnp.where(reached, lo, mid + 1), jnp.where(reached, mid, hi)
+
+    b, _ = jax.lax.fori_loop(
+        0, steps, body, (jnp.int32(0), jnp.int32(nbins - 1))
+    )
+    k = hmax * (b.astype(jnp.float32) + 1.0) / nbins
     return jnp.maximum(k, 1e-3)
 
 
@@ -133,39 +154,47 @@ def _hessian_response(L: jnp.ndarray, sigma_px: float):
 # Fused Pallas kernel: one whole octave of FED cycles in VMEM
 # ---------------------------------------------------------------------------
 #
-# The XLA path dispatches every FED step as its own fused stencil over HBM:
-# 66 steps/frame at the 4x4 preset cost ~2.8 ms on v5e (~42 us/step — launch
-# + HBM-round-trip bound; the arithmetic itself is ~0.2 ms of VPU work). The
-# kernel runs an octave's full evolution (4 cycles: Scharr -> conductivity ->
-# FED steps) on a row band held in VMEM, so L round-trips HBM once per OCTAVE
-# instead of once per step. Per-step edge semantics are preserved exactly:
+# The XLA path dispatches every FED step (and every per-level Hessian
+# Scharr pass) as its own fused stencil over HBM — ~2.0 ms/frame at the 4x4
+# preset on v5e, of which ~1.2 ms is the per-level Hessian/derivative
+# stencils alone. The kernel runs an octave's full evolution (4 cycles:
+# Scharr -> conductivity -> FED steps) AND the per-sublevel outputs (Lx, Ly,
+# sigma^4-normalized Hessian determinant) on a row band held in VMEM, so L
+# round-trips HBM once per OCTAVE instead of once per stencil pass. The
+# post-cycle Scharr is shared: it is both sublevel s's (Lx, Ly) output and
+# cycle s+1's conductivity gradient (exactly as in the XLA path, where both
+# are Scharr of the same L). Per-step edge semantics are preserved exactly:
 # every neighbor access clamps at the true image border (global-coordinate
 # `where`), matching `jnp.pad(mode="edge")`-then-shift of the XLA path.
-# Bands overlap by a halo of one row/col per stencil application (1 Scharr +
-# n diffusion steps per cycle) so band interiors are exact.
+# Bands overlap by a halo of one row/col per chained stencil application
+# (1 initial Scharr + n diffusion steps per cycle + 1 post-cycle Scharr,
+# + 1 leaf second-derivative Scharr) so band interiors are exact.
 
 
 def _octave_plan(H: int, W: int, cycles) -> Tuple[int, int, int, int]:
     """(TH, nb, halo8, Wp): band rows, band count, 8-aligned halo, lane pad.
 
     Bands split rows only (lanes stay whole: no lane halos). nb is the
-    smallest power of two keeping the ~12 live window-sized f32 buffers of
-    the longest cycle under the VMEM budget."""
-    halo = sum(len(taus) + 1 for taus in cycles)
+    smallest power of two keeping ~12 live window-sized f32 temporaries of
+    the unrolled stencil chain plus the 4-plane output staging buffer under
+    the scoped-VMEM budget (outputs themselves go to HBM by DMA)."""
+    halo = sum(len(taus) + 1 for taus in cycles) + 2
     halo8 = ((halo + 7) // 8) * 8
     Wp = ((W + 127) // 128) * 128
     nb = 1
     while True:
         TH = ((H + nb - 1) // nb + 7) // 8 * 8
-        if (TH + 2 * halo8) * Wp * 4 * 12 <= 12_000_000 or nb >= 8:
+        vmem = (TH + 2 * halo8) * Wp * 4 * 12 + 4 * TH * Wp * 4
+        if vmem <= 11_000_000 or nb >= 16:
             return TH, nb, halo8, Wp
         nb *= 2
 
 
-def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles):
+def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s):
     WH = TH + 2 * halo8
 
-    def kernel(Lp_hbm, k2_ref, out_ref, win, sem):
+    def kernel(Lp_hbm, k2_ref, l_ref, lx_ref, ly_ref, resp_ref,
+               win, stage, sem, osems):
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
             Lp_hbm.at[pl.ds(i * TH, WH), pl.ds(0, Wp)], win, sem
@@ -200,28 +229,42 @@ def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles):
                 gx >= W - 1, a, r
             )
 
+        # Scharr weights, (dy, dx) -> (wx, wy); streamed accumulation keeps
+        # ~5 window temporaries live instead of the 11 of a dict-of-shifts
+        # form (the scoped-VMEM budget is the binding constraint here)
+        _SW = {
+            (-1, -1): (-3.0, -3.0), (-1, 0): (0.0, -10.0),
+            (-1, 1): (3.0, -3.0), (0, -1): (-10.0, 0.0),
+            (0, 1): (10.0, 0.0), (1, -1): (-3.0, 3.0),
+            (1, 0): (0.0, 10.0), (1, 1): (3.0, 3.0),
+        }
+
+        def scharr(a):
+            sgx = jnp.zeros_like(a)
+            sgy = jnp.zeros_like(a)
+            for dy in (-1, 0, 1):
+                r = shift_rows(a, dy)
+                for dx in (-1, 0, 1):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    wx, wy = _SW[(dy, dx)]
+                    v = shift_cols(r, dx)
+                    if wx:
+                        sgx = sgx + wx * v
+                    if wy:
+                        sgy = sgy + wy * v
+            return sgx / 32.0, sgy / 32.0
+
+        def interior(a):
+            return a[halo8 : halo8 + TH, :]
+
+        outs = (l_ref, lx_ref, ly_ref, resp_ref)
         k2 = k2_ref[0]
         L = win[:]
+        dLx, dLy = scharr(L)
+        copies = []
         for s, taus in enumerate(cycles):
-            # Scharr (same stencil/order as _scharr)
-            rows = {dy: shift_rows(L, dy) for dy in (-1, 0, 1)}
-            n = {
-                (dy, dx): shift_cols(rows[dy], dx)
-                for dy in (-1, 0, 1)
-                for dx in (-1, 0, 1)
-                if (dy, dx) != (0, 0)
-            }
-            sgx = (
-                3.0 * (n[(-1, 1)] - n[(-1, -1)])
-                + 10.0 * (n[(0, 1)] - n[(0, -1)])
-                + 3.0 * (n[(1, 1)] - n[(1, -1)])
-            ) / 32.0
-            sgy = (
-                3.0 * (n[(1, -1)] - n[(-1, -1)])
-                + 10.0 * (n[(1, 0)] - n[(-1, 0)])
-                + 3.0 * (n[(1, 1)] - n[(-1, 1)])
-            ) / 32.0
-            g = 1.0 / (1.0 + (sgx * sgx + sgy * sgy) / k2)
+            g = 1.0 / (1.0 + (dLx * dLx + dLy * dLy) / k2)
             # half-grid conductivities, fixed across the cycle (FED parity)
             g_e = 0.5 * (g + shift_cols(g, 1))
             g_w = 0.5 * (g + shift_cols(g, -1))
@@ -235,13 +278,34 @@ def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles):
                     + g_n * (shift_rows(L, -1) - L)
                 )
                 L = L + tau * flux
-            out_ref[s] = L[halo8 : halo8 + TH, :]
+            # sublevel outputs; (dLx, dLy) double as the NEXT cycle's
+            # conductivity gradient (both are Scharr of this same L)
+            dLx, dLy = scharr(L)
+            Lxx, Lxy = scharr(dLx)
+            _, Lyy = scharr(dLy)
+            # stage each output plane in VMEM and DMA it out to HBM; the
+            # previous sublevel's copies must land before restaging
+            for c in copies:
+                c.wait()
+            copies = []
+            vals = (L, dLx, dLy, sigma4s[s] * (Lxx * Lyy - Lxy * Lxy))
+            for j, v in enumerate(vals):
+                stage[j] = interior(v)
+                c = pltpu.make_async_copy(
+                    stage.at[j],
+                    outs[j].at[s, pl.ds(i * TH, TH), pl.ds(0, Wp)],
+                    osems.at[j],
+                )
+                c.start()
+                copies.append(c)
+        for c in copies:
+            c.wait()
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "cycles", "interpret")
+    jax.jit, static_argnames=("H", "W", "cycles", "sigma4s", "interpret")
 )
 def fed_octave_pallas(
     L: jnp.ndarray,          # (H, W) current-octave base image
@@ -249,9 +313,14 @@ def fed_octave_pallas(
     H: int,
     W: int,
     cycles,                  # tuple of tuples of static tau step sizes
+    sigma4s,                 # tuple of static (sigma_px^2)^2 response scales
     interpret: bool = False,
-) -> jnp.ndarray:
-    """All FED cycles of one octave fused -> (S, H, W) per-sublevel L."""
+):
+    """All FED cycles of one octave + per-sublevel derivatives, fused.
+
+    Returns (L, Lx, Ly, response), each (S, H, W) — the complete Evolution
+    payload of the octave in one launch.
+    """
     S = len(cycles)
     TH, nb, halo8, Wp = _octave_plan(H, W, cycles)
     Hp = nb * TH
@@ -260,24 +329,28 @@ def fed_octave_pallas(
         ((halo8, halo8 + Hp - H), (0, Wp - W)),
         mode="edge",
     )
-    out = pl.pallas_call(
-        _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles),
+    shape = jax.ShapeDtypeStruct((S, Hp, Wp), jnp.float32)
+    outs = pl.pallas_call(
+        _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (S, TH, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((S, Hp, Wp), jnp.float32),
+        # outputs live in HBM; the kernel DMAs band interiors out from the
+        # staging scratch (4 full (S, TH, Wp) VMEM out blocks would blow
+        # the scoped-VMEM limit)
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * 4,
+        out_shape=[shape] * 4,
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * halo8, Wp), jnp.float32),
+            pltpu.VMEM((4, TH, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(Lp, jnp.asarray(k2, jnp.float32).reshape(1))
-    return out[:, :H, :W]
+    return tuple(o[:, :H, :W] for o in outs)
 
 
 def build_scale_space(
@@ -317,35 +390,40 @@ def build_scale_space(
             t_prev = t
 
         h, w = L.shape
+        sigma4s = tuple(
+            float((sigmas[s] / (2.0 ** o)) ** 4) for s in range(num_sublevels)
+        )
         if fused:
-            # whole octave in one Pallas launch (L round-trips HBM once per
-            # octave, not once per FED step)
-            Ls = fed_octave_pallas(
-                L, k2, h, w, tuple(cycles), interpret=interpret_mode()
+            # whole octave (FED cycles + per-sublevel Lx/Ly/Hessian response)
+            # in one Pallas launch — L round-trips HBM once per octave, not
+            # once per stencil pass
+            Ls, Lxs, Lys, resps = fed_octave_pallas(
+                L, k2, h, w, tuple(cycles), sigma4s,
+                interpret=interpret_mode(),
             )
-            sub_L = [Ls[s] for s in range(num_sublevels)]
+            for s in range(num_sublevels):
+                levels.append(
+                    Evolution(L=Ls[s], Lx=Lxs[s], Ly=Lys[s],
+                              response=resps[s], sigma=sigmas[s], octave=o)
+                )
+            L = Ls[num_sublevels - 1]
         else:
             # XLA reference path: per-step stencils. FED semantics (and
             # OpenMVG AKAZE parity): the conductivity is computed ONCE per
             # cycle and held FIXED across the cycle's explicit steps — the
             # varying tau schedule is only stable as a cycle of steps of one
             # linear operator.
-            sub_L = []
-            for taus in cycles:
+            for s, taus in enumerate(cycles):
                 gx, gy = _scharr(L)
                 g = 1.0 / (1.0 + (gx * gx + gy * gy) / k2)
                 for tau in taus:
                     L = _diffusion_step(L, g, tau)
-                sub_L.append(L)
-
-        for s in range(num_sublevels):
-            sigma_px = sigmas[s] / (2.0 ** o)  # scale in octave pixels
-            resp, Lx, Ly = _hessian_response(sub_L[s], sigma_px)
-            levels.append(
-                Evolution(L=sub_L[s], Lx=Lx, Ly=Ly, response=resp,
-                          sigma=sigmas[s], octave=o)
-            )
-        L = sub_L[-1]
+                sigma_px = sigmas[s] / (2.0 ** o)  # scale in octave pixels
+                resp, Lx, Ly = _hessian_response(L, sigma_px)
+                levels.append(
+                    Evolution(L=L, Lx=Lx, Ly=Ly, response=resp,
+                              sigma=sigmas[s], octave=o)
+                )
         if o + 1 < num_octaves:
             # downsample by 2 for the next octave
             L = L[::2, ::2]

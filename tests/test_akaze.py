@@ -45,8 +45,9 @@ class TestDiffusion:
 
     def test_fed_octave_kernel_matches_xla_steps(self, img):
         """Fused per-octave FED kernel (interpret mode) against the XLA
-        per-step stencil loop, including non-aligned image sizes (row-band
-        halos + per-step edge clamping must be exact)."""
+        per-step stencil loop + per-sublevel Hessian outputs, including
+        non-aligned image sizes (row-band halos + per-step edge clamping
+        must be exact)."""
         rng = np.random.default_rng(1)
         for (h, w) in ((120, 188), (37, 61)):
             L = jnp.asarray(rng.uniform(0, 1, (h, w)), jnp.float32)
@@ -55,19 +56,29 @@ class TestDiffusion:
                 tuple(diffusion.fed_tau_cycle(dt))
                 for dt in (1.155, 0.53, 0.75, 1.06)
             )
-            out = diffusion.fed_octave_pallas(
-                L, k2, h, w, cycles, interpret=True
+            sigma4s = (1.0, 1.7, 2.9, 5.1)
+            outs = diffusion.fed_octave_pallas(
+                L, k2, h, w, cycles, sigma4s, interpret=True
             )
-            Lr, ref = L, []
-            for taus in cycles:
+            Lr = L
+            refs = {k: [] for k in ("L", "Lx", "Ly", "resp")}
+            for s, taus in enumerate(cycles):
                 gx, gy = diffusion._scharr(Lr)
                 g = 1.0 / (1.0 + (gx * gx + gy * gy) / k2)
                 for tau in taus:
                     Lr = diffusion._diffusion_step(Lr, g, tau)
-                ref.append(Lr)
-            np.testing.assert_allclose(
-                np.asarray(out), np.asarray(jnp.stack(ref)), atol=1e-6
-            )
+                resp, Lx, Ly = diffusion._hessian_response(
+                    Lr, sigma4s[s] ** 0.25
+                )
+                refs["L"].append(Lr)
+                refs["Lx"].append(Lx)
+                refs["Ly"].append(Ly)
+                refs["resp"].append(resp)
+            for out, key in zip(outs, ("L", "Lx", "Ly", "resp")):
+                np.testing.assert_allclose(
+                    np.asarray(out), np.asarray(jnp.stack(refs[key])),
+                    atol=1e-6, err_msg=key,
+                )
 
     def test_edge_preservation(self):
         """Perona-Malik: a strong step edge survives diffusion far better
