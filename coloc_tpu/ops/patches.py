@@ -274,15 +274,30 @@ def _sample_raster_kernel(C, stride, kb, ph, pw, row0_ref, col0_ref,
             )
 
 
+_KB_SAMPLE = 32   # sampling-kernel keypoints per program: per-keypoint issue
+                  # overhead (DMA starts, one-hot builds, matmul issues)
+                  # dominates at K=5000, so batch as many as the VMEM window
+                  # scratch allows; K is padded up to a multiple below
+
+
 @functools.partial(jax.jit,
                    static_argnames=("C", "stride", "ph", "pw", "interpret"))
 def _sample_raster_pallas(src2, row0, col0, lx, ly, C, stride, ph, pw,
                           interpret=False):
     K, NS = lx.shape
-    kb = _KB if K % _KB == 0 else 1
+    kb = min(_KB_SAMPLE, K)
+    Kp = ((K + kb - 1) // kb) * kb
+    if Kp != K:
+        # pad with benign keypoints (window at raster origin, coords 0);
+        # their outputs are sliced off below
+        z = ((0, Kp - K),)
+        row0 = jnp.pad(row0, z)
+        col0 = jnp.pad(col0, z)
+        lx = jnp.pad(lx, z + ((0, 0),))
+        ly = jnp.pad(ly, z + ((0, 0),))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(K // kb,),
+        grid=(Kp // kb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec((kb, NS), lambda i, r, c: (i, 0)),
@@ -295,12 +310,13 @@ def _sample_raster_pallas(src2, row0, col0, lx, ly, C, stride, ph, pw,
         ],
     )
     kernel = functools.partial(_sample_raster_kernel, C, stride, kb, ph, pw)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C, K, NS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, Kp, NS), jnp.float32),
         interpret=interpret,
     )(row0, col0, src2, lx, ly)
+    return out[:, :K, :]
 
 
 def sample_raster_flat(
