@@ -24,6 +24,25 @@ import time
 import numpy as np
 
 
+class _FanoutSink:
+    """Duplicates session viz callbacks to several sinks (--viz + --publish)."""
+
+    def __init__(self, sinks):
+        self.sinks = sinks
+
+    def publish_pose(self, *a, **kw):
+        for s in self.sinks:
+            s.publish_pose(*a, **kw)
+
+    def publish_map(self, *a, **kw):
+        for s in self.sinks:
+            s.publish_map(*a, **kw)
+
+    def close(self):
+        for s in self.sinks:
+            s.close()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="coloc_tpu session runner")
     ap.add_argument("--folder", default="", help="image folder (img__Quad{d}_{f:04d}.png)")
@@ -49,6 +68,11 @@ def main(argv=None):
                     metavar="PORT",
                     help="serve a live pose+map viewer (rosUtils/RViz analog)"
                          " on PORT (default 8765)")
+    ap.add_argument("--publish", default=None, metavar="HOST:PORT|PORT",
+                    help="publish poses+map on the native TCP topic bus "
+                         "(ROS pub/sub analog, io/transport.py); a bare "
+                         "PORT starts a broker here (0 = ephemeral), "
+                         "HOST:PORT joins an existing one")
     args = ap.parse_args(argv)
 
     import jax
@@ -87,12 +111,30 @@ def main(argv=None):
             ap.error("--folder and --calib required (or use --synthetic)")
         size, Ks, dists = disk.read_calib(args.calib, args.drones)
 
-    viz = None
+    viz = live = None
     if args.viz is not None:
         from coloc_tpu.io.liveviz import LiveViz
 
-        viz = LiveViz(port=args.viz)
-        print(f"live viz: {viz.url}")
+        viz = live = LiveViz(port=args.viz)
+        print(f"live viz: {live.url}")
+
+    bus_broker = bus_node = None
+    if args.publish is not None:
+        from coloc_tpu.io import transport
+
+        if ":" in args.publish:
+            host, port = args.publish.rsplit(":", 1)
+            bus_node = transport.Node(int(port), host=host)
+            print(f"transport: joined bus at {host}:{port}")
+        else:
+            bus_broker = transport.Broker(port=int(args.publish))
+            bus_node = transport.Node(bus_broker.port)
+            print(f"transport: broker on 127.0.0.1:{bus_broker.port}")
+        publisher = transport.TransportPublisher(bus_node)
+        if viz is None:
+            viz = publisher
+        else:
+            viz = _FanoutSink([viz, publisher])
 
     config = ColocConfig(
         num_drones=args.drones,
@@ -179,9 +221,9 @@ def main(argv=None):
                 f"RPE(1)={rpe * 100:.2f} cm over {len(ok_idx)} frames "
                 "(similarity-aligned; monocular scale freed)"
             )
-    if viz is not None:
+    if live is not None:
         if sys.stdin.isatty():
-            print(f"live viz still serving at {viz.url} — ctrl-c to exit")
+            print(f"live viz still serving at {live.url} — ctrl-c to exit")
             try:
                 import time as _t
 
@@ -189,7 +231,11 @@ def main(argv=None):
                     _t.sleep(1)
             except KeyboardInterrupt:
                 pass
-        viz.close()
+        live.close()
+    if bus_node is not None:
+        bus_node.close()
+    if bus_broker is not None:
+        bus_broker.close()
     return 0
 
 

@@ -1,0 +1,333 @@
+"""Native TCP topic transport — the ROS pub/sub runtime analog.
+
+Reference parity: inter-robot communication in the reference is ROS topics —
+`ROSUtils` publishes per-drone `coloc/drone{i}/pose` PoseStamped messages and
+a `coloc/map` point cloud (rosUtils.hpp:21-94), and `InterfaceROS` ingests
+camera frames from image topics with message_filters approximate-time sync
+(InterfaceROS.hpp:7-44). ROS is absent from the target environment; the
+native runtime equivalent is `coloc_tpu/native/transport.cpp` — a
+broker-routed TCP topic bus with named topics, bounded drop-oldest
+subscriber queues, and many-to-many fan-out — bound here via ctypes.
+
+This module provides:
+  - `Broker` / `Node`: the bus primitives (start a broker, connect nodes,
+    publish/subscribe raw payloads on named topics).
+  - pose / image / point-cloud codecs (fixed little-endian layouts).
+  - `TransportPublisher`: ROSUtils-parity session sink — drop-in for the
+    session's `viz=` slot (same `publish_pose` / `publish_map` surface as
+    io/liveviz.LiveViz), publishing to `coloc/drone{i}/pose` + `coloc/map`.
+  - `ImageStreamBridge`: subscribes `coloc/drone{i}/image` topics and feeds
+    a `FrameStream`, so `StreamInterface` + `ApproximateTimeSync`
+    (io/stream.py) run unchanged over the network — the InterfaceROS path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libcoloc_transport.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "libcoloc_transport.so"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.coloc_broker_start.restype = ctypes.c_void_p
+        lib.coloc_broker_start.argtypes = [ctypes.c_int]
+        lib.coloc_broker_port.restype = ctypes.c_int
+        lib.coloc_broker_port.argtypes = [ctypes.c_void_p]
+        lib.coloc_broker_stop.argtypes = [ctypes.c_void_p]
+        lib.coloc_node_connect.restype = ctypes.c_void_p
+        lib.coloc_node_connect.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.coloc_node_publish.restype = ctypes.c_int
+        lib.coloc_node_publish.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.coloc_node_subscribe.restype = ctypes.c_int
+        lib.coloc_node_subscribe.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.coloc_node_unsubscribe.restype = ctypes.c_int
+        lib.coloc_node_unsubscribe.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.coloc_node_receive.restype = ctypes.c_int
+        lib.coloc_node_receive.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_double,
+        ]
+        lib.coloc_node_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load_library() is not None
+
+
+class Broker:
+    """Topic router (the rosmaster analog; data flows through it)."""
+
+    def __init__(self, port: int = 0):
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError("native transport unavailable (build failed)")
+        self._lib = lib
+        self._handle = lib.coloc_broker_start(port)
+        if not self._handle:
+            raise OSError(f"failed to start broker on port {port}")
+
+    @property
+    def port(self) -> int:
+        return self._lib.coloc_broker_port(self._handle)
+
+    def close(self):
+        if self._handle:
+            self._lib.coloc_broker_stop(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Node:
+    """One bus endpoint: publish/subscribe raw payloads on named topics."""
+
+    def __init__(self, port: int, host: str = "127.0.0.1"):
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError("native transport unavailable (build failed)")
+        self._lib = lib
+        self._handle = lib.coloc_node_connect(host.encode(), port)
+        if not self._handle:
+            raise OSError(f"failed to connect to broker at {host}:{port}")
+
+    def publish(self, topic: str, payload: bytes) -> None:
+        rc = self._lib.coloc_node_publish(
+            self._handle, topic.encode(), payload, len(payload))
+        if rc != 0:
+            raise OSError(f"publish to {topic!r} failed")
+
+    def subscribe(self, topic: str, depth: int = 16) -> None:
+        rc = self._lib.coloc_node_subscribe(self._handle, topic.encode(),
+                                            depth)
+        if rc != 0:
+            raise OSError(f"subscribe to {topic!r} failed")
+
+    def unsubscribe(self, topic: str) -> None:
+        self._lib.coloc_node_unsubscribe(self._handle, topic.encode())
+
+    def receive(self, topic: str, timeout: float = 1.0,
+                max_bytes: int = 16 << 20) -> Optional[bytes]:
+        """Next payload on `topic`, or None on timeout.
+
+        Raises on unsubscribed topics and closed nodes (distinct errors the
+        C ABI reports as -2 / -3)."""
+        buf = ctypes.create_string_buffer(max_bytes)
+        n = self._lib.coloc_node_receive(
+            self._handle, topic.encode(), buf, max_bytes, timeout)
+        if n == -1:
+            return None
+        if n == -2:
+            raise KeyError(f"not subscribed to {topic!r}")
+        if n == -3:
+            raise OSError("transport connection closed")
+        if n > max_bytes:
+            raise OSError(f"payload ({n} B) exceeds max_bytes ({max_bytes})")
+        return buf.raw[:n]
+
+    def close(self):
+        if self._handle:
+            self._lib.coloc_node_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# Message codecs (fixed little-endian layouts)
+# ---------------------------------------------------------------------------
+
+_POSE_HDR = struct.Struct("<iid")  # drone, frame, timestamp
+
+
+def encode_pose(drone: int, frame: int, timestamp: float, C,
+                rpy=None, cov3=None, success: bool = True) -> bytes:
+    """PoseStamped-analog: position + roll/pitch/yaw + 3x3 position cov.
+
+    Mirrors ROSUtils::loadPoseIntoMsg (rosUtils.hpp:70-84: position + Euler
+    orientation) plus the covariance the reference logs alongside
+    (logUtils.hpp:90-96)."""
+    C = np.asarray(C, np.float64).reshape(3)
+    rpy = (np.zeros(3) if rpy is None
+           else np.asarray(rpy, np.float64).reshape(3))
+    cov3 = (np.zeros((3, 3)) if cov3 is None
+            else np.asarray(cov3, np.float64).reshape(3, 3))
+    return (_POSE_HDR.pack(drone, frame, timestamp)
+            + struct.pack("<b", 1 if success else 0)
+            + C.tobytes() + rpy.tobytes() + cov3.tobytes())
+
+
+def decode_pose(payload: bytes) -> dict:
+    drone, frame, ts = _POSE_HDR.unpack_from(payload, 0)
+    off = _POSE_HDR.size
+    success = struct.unpack_from("<b", payload, off)[0] == 1
+    off += 1
+    vals = np.frombuffer(payload, np.float64, count=3 + 3 + 9, offset=off)
+    return {
+        "drone": drone, "frame": frame, "timestamp": ts, "success": success,
+        "C": vals[:3].copy(), "rpy": vals[3:6].copy(),
+        "cov3": vals[6:].reshape(3, 3).copy(),
+    }
+
+
+_IMAGE_HDR = struct.Struct("<iiid")  # drone, height, width, timestamp
+
+
+def encode_image(drone: int, image: np.ndarray, timestamp: float) -> bytes:
+    """sensor_msgs::Image (mono8) analog; float inputs are clipped to u8
+    (the reference converts incoming frames to mono8, InterfaceROS.hpp:18)."""
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    h, w = img.shape
+    return _IMAGE_HDR.pack(drone, h, w, timestamp) + img.tobytes()
+
+
+def decode_image(payload: bytes):
+    drone, h, w, ts = _IMAGE_HDR.unpack_from(payload, 0)
+    img = np.frombuffer(payload, np.uint8, count=h * w,
+                        offset=_IMAGE_HDR.size).reshape(h, w).copy()
+    return drone, img, ts
+
+
+def encode_map_points(X) -> bytes:
+    """coloc/map point-cloud analog (rosUtils.hpp:43-59)."""
+    X = np.ascontiguousarray(np.asarray(X, np.float32).reshape(-1, 3))
+    return struct.pack("<i", len(X)) + X.tobytes()
+
+
+def decode_map_points(payload: bytes) -> np.ndarray:
+    n = struct.unpack_from("<i", payload, 0)[0]
+    return np.frombuffer(payload, np.float32, count=3 * n,
+                         offset=4).reshape(n, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# Session integration
+# ---------------------------------------------------------------------------
+
+def pose_topic(drone: int) -> str:
+    return f"coloc/drone{drone}/pose"
+
+
+def image_topic(drone: int) -> str:
+    return f"coloc/drone{drone}/image"
+
+
+MAP_TOPIC = "coloc/map"
+
+
+class TransportPublisher:
+    """ROSUtils-parity session sink over the native bus.
+
+    Presents the same surface as io/liveviz.LiveViz (`publish_pose`,
+    `publish_map`, `close`) so it drops into ColocSession's `viz=` slot —
+    poses go out per-update (queue depth 1 per topic matches ROSUtils'
+    advertise(topic, 1)), the map cloud on map (re)build."""
+
+    def __init__(self, node: Node, max_map_points: int = 20000):
+        self._node = node
+        self._max_map_points = max_map_points
+        self._frame = 0
+
+    def publish_pose(self, drone: int, C, cov3=None, success: bool = True,
+                     frame: Optional[int] = None):
+        if frame is not None:
+            self._frame = int(frame)
+        self._node.publish(
+            pose_topic(int(drone)),
+            encode_pose(int(drone), self._frame, 0.0, C, cov3=cov3,
+                        success=success))
+
+    def publish_map(self, X, valid=None):
+        X = np.asarray(X)
+        if valid is not None:
+            X = X[np.asarray(valid)]
+        if len(X) > self._max_map_points:
+            X = X[:: len(X) // self._max_map_points + 1]
+        self._node.publish(MAP_TOPIC, encode_map_points(X))
+
+    def close(self):
+        pass  # node lifetime is the caller's
+
+
+class ImageStreamBridge:
+    """Subscribes `coloc/drone{i}/image` and feeds a FrameStream.
+
+    The receiving side of the InterfaceROS path: frames arriving on the bus
+    land in per-drone queues that `StreamInterface` / `ApproximateTimeSync`
+    (io/stream.py) consume unchanged."""
+
+    def __init__(self, node: Node, stream, drones: Sequence[int],
+                 depth: int = 4):
+        self._node = node
+        self._stream = stream
+        self._drones = list(drones)
+        for d in self._drones:
+            node.subscribe(image_topic(d), depth=depth)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._pump, args=(d,), daemon=True)
+            for d in self._drones
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _pump(self, drone: int):
+        topic = image_topic(drone)
+        while not self._stop.is_set():
+            try:
+                payload = self._node.receive(topic, timeout=0.1)
+            except (OSError, KeyError):
+                return
+            if payload is None:
+                continue
+            d, img, ts = decode_image(payload)
+            self._stream.push(d, img, timestamp=ts)
+
+    def close(self):
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=1.0)
