@@ -25,6 +25,8 @@ from typing import Optional
 
 import numpy as np
 
+from coloc_tpu.io import decimate_map_points
+
 _PAGE = """<!DOCTYPE html>
 <html><head><title>coloc_tpu live</title><style>
 body{background:#111;color:#ddd;font-family:monospace;margin:0}
@@ -137,11 +139,7 @@ class LiveViz:
 
     def publish_map(self, X, valid=None):
         """Landmark cloud update (coloc/map analog)."""
-        X = np.asarray(X)
-        if valid is not None:
-            X = X[np.asarray(valid)]
-        if len(X) > self._max_map_points:
-            X = X[:: len(X) // self._max_map_points + 1]
+        X = decimate_map_points(X, valid, self._max_map_points)
         with self._lock:
             self._map = np.asarray(X, np.float32).round(4).tolist()
 

@@ -28,9 +28,19 @@ import os
 import struct
 import subprocess
 import threading
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
+
+class TransportClosed(OSError):
+    """The node's connection to the broker is gone."""
+
+
+class PayloadTooLarge(OSError):
+    """A received payload exceeded max_bytes (the message is consumed and
+    truncated by the C side; the full length is reported)."""
+
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libcoloc_transport.so")
@@ -128,6 +138,18 @@ class Node:
         self._handle = lib.coloc_node_connect(host.encode(), port)
         if not self._handle:
             raise OSError(f"failed to connect to broker at {host}:{port}")
+        # receive() buffers are per-thread (ImageStreamBridge runs one pump
+        # thread per drone on a shared node) and reused across calls — a
+        # fresh create_string_buffer per call zero-fills max_bytes (16 MB
+        # default) on EVERY 0.1 s poll timeout.
+        self._tls = threading.local()
+
+    def _recv_buf(self, max_bytes: int):
+        buf = getattr(self._tls, "buf", None)
+        if buf is None or len(buf) < max_bytes:
+            buf = ctypes.create_string_buffer(max_bytes)
+            self._tls.buf = buf
+        return buf
 
     def publish(self, topic: str, payload: bytes) -> None:
         rc = self._lib.coloc_node_publish(
@@ -148,9 +170,9 @@ class Node:
                 max_bytes: int = 16 << 20) -> Optional[bytes]:
         """Next payload on `topic`, or None on timeout.
 
-        Raises on unsubscribed topics and closed nodes (distinct errors the
-        C ABI reports as -2 / -3)."""
-        buf = ctypes.create_string_buffer(max_bytes)
+        Raises KeyError on unsubscribed topics, TransportClosed on closed
+        nodes (the C ABI's -2 / -3), PayloadTooLarge past max_bytes."""
+        buf = self._recv_buf(max_bytes)
         n = self._lib.coloc_node_receive(
             self._handle, topic.encode(), buf, max_bytes, timeout)
         if n == -1:
@@ -158,9 +180,10 @@ class Node:
         if n == -2:
             raise KeyError(f"not subscribed to {topic!r}")
         if n == -3:
-            raise OSError("transport connection closed")
+            raise TransportClosed("transport connection closed")
         if n > max_bytes:
-            raise OSError(f"payload ({n} B) exceeds max_bytes ({max_bytes})")
+            raise PayloadTooLarge(
+                f"payload ({n} B) exceeds max_bytes ({max_bytes})")
         return buf.raw[:n]
 
     def close(self):
@@ -271,23 +294,36 @@ class TransportPublisher:
         self._node = node
         self._max_map_points = max_map_points
         self._frame = 0
+        self._dead = False
+
+    def _publish(self, topic: str, payload: bytes):
+        # Telemetry is advisory: a dying broker/bus must degrade this sink,
+        # not abort the localization session (LiveViz, the drop-in sibling
+        # for the viz slot, never raises either).
+        if self._dead:
+            return
+        try:
+            self._node.publish(topic, payload)
+        except OSError:
+            self._dead = True
+            warnings.warn(
+                "transport publisher: bus connection lost; telemetry "
+                "disabled for the rest of the session", RuntimeWarning)
 
     def publish_pose(self, drone: int, C, cov3=None, success: bool = True,
                      frame: Optional[int] = None):
         if frame is not None:
             self._frame = int(frame)
-        self._node.publish(
+        self._publish(
             pose_topic(int(drone)),
             encode_pose(int(drone), self._frame, 0.0, C, cov3=cov3,
                         success=success))
 
     def publish_map(self, X, valid=None):
-        X = np.asarray(X)
-        if valid is not None:
-            X = X[np.asarray(valid)]
-        if len(X) > self._max_map_points:
-            X = X[:: len(X) // self._max_map_points + 1]
-        self._node.publish(MAP_TOPIC, encode_map_points(X))
+        from coloc_tpu.io import decimate_map_points
+
+        X = decimate_map_points(X, valid, self._max_map_points)
+        self._publish(MAP_TOPIC, encode_map_points(X))
 
     def close(self):
         pass  # node lifetime is the caller's
@@ -301,9 +337,10 @@ class ImageStreamBridge:
     (io/stream.py) consume unchanged."""
 
     def __init__(self, node: Node, stream, drones: Sequence[int],
-                 depth: int = 4):
+                 depth: int = 4, max_bytes: int = 16 << 20):
         self._node = node
         self._stream = stream
+        self._max_bytes = max_bytes
         self._drones = list(drones)
         for d in self._drones:
             node.subscribe(image_topic(d), depth=depth)
@@ -319,8 +356,21 @@ class ImageStreamBridge:
         topic = image_topic(drone)
         while not self._stop.is_set():
             try:
-                payload = self._node.receive(topic, timeout=0.1)
-            except (OSError, KeyError):
+                payload = self._node.receive(topic, timeout=0.1,
+                                             max_bytes=self._max_bytes)
+            except PayloadTooLarge as e:
+                # that one frame is lost (consumed + truncated by the C
+                # side), but the feed survives
+                warnings.warn(f"image bridge drone {drone}: dropped "
+                              f"oversized frame ({e})", RuntimeWarning)
+                continue
+            except (TransportClosed, KeyError) as e:
+                # unrecoverable: close the stream so consumers see EOF
+                # instead of blocking forever on a silently-dead feed
+                if not self._stop.is_set():
+                    warnings.warn(f"image bridge drone {drone}: feed ended "
+                                  f"({e!r}); closing stream", RuntimeWarning)
+                    self._stream.close()
                 return
             if payload is None:
                 continue

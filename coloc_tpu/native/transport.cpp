@@ -42,6 +42,7 @@
 // Build: make -C coloc_tpu/native libcoloc_transport.so
 
 #include <arpa/inet.h>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
@@ -132,19 +133,23 @@ bool parse_body(const std::vector<uint8_t>& body, uint8_t& kind,
 // ---------------------------------------------------------------------------
 
 struct BrokerClient {
-  int fd = -1;
-  std::mutex write_mu;  // serialize frames to this subscriber
+  uint64_t id = 0;        // map key: monotonic id, NOT the fd (fd numbers are
+                          // reused by the kernel; keying by fd let a new
+                          // connection be erased by an old one's teardown)
+  int fd = -1;            // -1 once closed; read/written under write_mu only
+  std::mutex write_mu;    // serialize frames to this subscriber + fd lifetime
   std::set<std::string> topics;
-  std::thread reader;
+  std::thread reader;     // joinable — joined by reap()/stop, never detached
 };
 
 struct Broker {
   int listen_fd = -1;
   int port = 0;
-  std::mutex mu;  // guards clients
-  std::map<int, std::shared_ptr<BrokerClient>> clients;
+  std::mutex mu;  // guards clients + dead_ids
+  std::map<uint64_t, std::shared_ptr<BrokerClient>> clients;
+  std::vector<uint64_t> dead_ids;  // finished readers awaiting join
+  uint64_t next_id = 1;
   std::thread acceptor;
-  bool stopping = false;
 
   void route(const std::string& topic, const std::vector<uint8_t>& body) {
     // Re-frame as MESSAGE once, fan out to every subscriber of the topic.
@@ -162,14 +167,21 @@ struct Broker {
     }
     for (auto& c : targets) {
       std::lock_guard<std::mutex> lk(c->write_mu);
-      send_all(c->fd, frame.data(), frame.size());  // drop on error; reader
-                                                    // thread reaps the client
+      if (c->fd >= 0)  // skip clients torn down after the snapshot
+        send_all(c->fd, frame.data(), frame.size());  // drop on error; the
+                                                      // reader reaps the client
     }
   }
 
   void serve_client(std::shared_ptr<BrokerClient> client) {
     std::vector<uint8_t> body;
-    while (read_frame(client->fd, body)) {
+    while (true) {
+      {
+        // fd may be shut down by stop(); a closed fd is EOF below
+        std::lock_guard<std::mutex> lk(client->write_mu);
+        if (client->fd < 0) break;
+      }
+      if (!read_frame(client->fd, body)) break;
       uint8_t kind;
       std::string topic;
       const uint8_t* payload;
@@ -185,26 +197,53 @@ struct Broker {
         route(topic, body);
       }
     }
-    ::shutdown(client->fd, SHUT_RDWR);
-    ::close(client->fd);
+    {
+      // Close under write_mu so route() can never write to a closed/reused
+      // fd; fd = -1 marks the client dead for route()'s snapshot.
+      std::lock_guard<std::mutex> lk(client->write_mu);
+      if (client->fd >= 0) {
+        ::shutdown(client->fd, SHUT_RDWR);
+        ::close(client->fd);
+        client->fd = -1;
+      }
+    }
     std::lock_guard<std::mutex> lk(mu);
-    clients.erase(client->fd);
+    dead_ids.push_back(client->id);  // reaped (joined + erased) by
+                                     // accept_loop or stop
+  }
+
+  // Join + erase finished clients. Never called from a reader thread.
+  void reap() {
+    std::vector<std::thread> done;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      for (uint64_t id : dead_ids) {
+        auto it = clients.find(id);
+        if (it == clients.end()) continue;
+        done.push_back(std::move(it->second->reader));
+        clients.erase(it);
+      }
+      dead_ids.clear();
+    }
+    for (auto& t : done)
+      if (t.joinable()) t.join();
   }
 
   void accept_loop() {
     while (true) {
       int fd = ::accept(listen_fd, nullptr, nullptr);
       if (fd < 0) return;  // listen_fd closed -> stop
+      reap();
       int one = 1;
       ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
       auto client = std::make_shared<BrokerClient>();
       client->fd = fd;
       {
         std::lock_guard<std::mutex> lk(mu);
-        clients[fd] = client;
+        client->id = next_id++;
+        clients[client->id] = client;
       }
       client->reader = std::thread([this, client] { serve_client(client); });
-      client->reader.detach();
     }
   }
 };
@@ -263,7 +302,10 @@ void* coloc_broker_start(int port) {
   ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
-  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  // Bind all interfaces so nodes on OTHER machines can join this broker
+  // (the rosmaster model; a loopback-only bind made the documented
+  // cross-machine `--publish HOST:PORT` join impossible).
+  addr.sin_addr.s_addr = htonl(INADDR_ANY);
   addr.sin_port = htons(static_cast<uint16_t>(port));
   if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0 ||
       ::listen(fd, 64) < 0) {
@@ -290,35 +332,42 @@ void coloc_broker_stop(void* handle) {
   ::shutdown(broker->listen_fd, SHUT_RDWR);
   ::close(broker->listen_fd);
   if (broker->acceptor.joinable()) broker->acceptor.join();
-  // Close client sockets; their (detached) reader threads exit on EOF.
-  std::vector<int> fds;
+  // Shut down every live client socket (readers see EOF and tear down),
+  // then JOIN every reader thread — the broker may only be freed once no
+  // thread can touch it again (the old detached-thread + bounded-wait
+  // scheme freed the broker under still-running readers on slow machines).
+  std::vector<std::shared_ptr<BrokerClient>> remaining;
   {
     std::lock_guard<std::mutex> lk(broker->mu);
-    for (auto& kv : broker->clients) fds.push_back(kv.first);
+    for (auto& kv : broker->clients) remaining.push_back(kv.second);
   }
-  for (int fd : fds) ::shutdown(fd, SHUT_RDWR);
-  // Give detached readers a beat to drain before freeing the broker.
-  for (int i = 0; i < 100; ++i) {
-    {
-      std::lock_guard<std::mutex> lk(broker->mu);
-      if (broker->clients.empty()) break;
-    }
-    std::this_thread::sleep_for(std::chrono::milliseconds(2));
+  for (auto& c : remaining) {
+    std::lock_guard<std::mutex> lk(c->write_mu);
+    if (c->fd >= 0) ::shutdown(c->fd, SHUT_RDWR);
   }
+  for (auto& c : remaining)
+    if (c->reader.joinable()) c->reader.join();
   delete broker;
 }
 
 void* coloc_node_connect(const char* host, int port) {
-  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
-  if (fd < 0) return nullptr;
-  sockaddr_in addr{};
-  addr.sin_family = AF_INET;
-  addr.sin_port = htons(static_cast<uint16_t>(port));
-  if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
-    ::close(fd);
+  // Resolve hostnames as well as numeric addresses — a node joining a
+  // remote broker (`--publish robot1:9000`) names the host, not an IP.
+  addrinfo hints{};
+  hints.ai_family = AF_INET;
+  hints.ai_socktype = SOCK_STREAM;
+  addrinfo* res = nullptr;
+  std::string port_s = std::to_string(port);
+  if (::getaddrinfo(host, port_s.c_str(), &hints, &res) != 0 || !res)
+    return nullptr;
+  int fd = ::socket(res->ai_family, res->ai_socktype, res->ai_protocol);
+  if (fd < 0) {
+    ::freeaddrinfo(res);
     return nullptr;
   }
-  if (::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0) {
+  int rc = ::connect(fd, res->ai_addr, res->ai_addrlen);
+  ::freeaddrinfo(res);
+  if (rc < 0) {
     ::close(fd);
     return nullptr;
   }
@@ -368,17 +417,25 @@ int coloc_node_receive(void* handle, const char* topic, void* out, int cap,
   if (!handle) return -3;
   auto* node = static_cast<Node*>(handle);
   std::unique_lock<std::mutex> lk(node->mu);
-  auto it = node->queues.find(topic);
-  if (it == node->queues.end()) return -2;
   auto deadline = std::chrono::steady_clock::now() +
                   std::chrono::duration_cast<std::chrono::nanoseconds>(
                       std::chrono::duration<double>(timeout_s));
-  while (it->second.items.empty()) {
+  // Re-find the queue after every wait: wait_until releases the mutex, and
+  // a concurrent unsubscribe() may erase the entry (a held iterator would
+  // dangle into freed map-node memory).
+  for (;;) {
+    auto it = node->queues.find(topic);
+    if (it == node->queues.end()) return -2;
+    if (!it->second.items.empty()) break;
     if (node->closed) return -3;
-    if (node->cv.wait_until(lk, deadline) == std::cv_status::timeout &&
-        it->second.items.empty())
+    if (node->cv.wait_until(lk, deadline) == std::cv_status::timeout) {
+      auto it2 = node->queues.find(topic);
+      if (it2 == node->queues.end()) return -2;
+      if (!it2->second.items.empty()) break;
       return node->closed ? -3 : -1;
+    }
   }
+  auto it = node->queues.find(topic);
   std::vector<uint8_t> payload = std::move(it->second.items.front());
   it->second.items.pop_front();
   lk.unlock();

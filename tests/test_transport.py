@@ -151,6 +151,104 @@ def test_image_bridge_feeds_time_sync(broker):
     np.testing.assert_array_equal(b, img1)
 
 
+def test_receive_survives_concurrent_unsubscribe(broker):
+    """A blocked receive() whose topic is unsubscribed from another thread
+    must surface KeyError (the C side re-finds the queue after every wait;
+    a held iterator would dangle into freed map-node memory)."""
+    import threading
+
+    with transport.Node(broker.port) as node:
+        node.subscribe("t/gone", depth=4)
+        time.sleep(0.05)
+        result = {}
+
+        def rx():
+            try:
+                result["value"] = node.receive("t/gone", timeout=5.0)
+            except Exception as e:  # noqa: BLE001 - recording for assert
+                result["error"] = e
+
+        t = threading.Thread(target=rx)
+        t.start()
+        time.sleep(0.2)  # let rx block inside the native wait
+        node.unsubscribe("t/gone")
+        t.join(timeout=10.0)
+        assert not t.is_alive()
+        assert isinstance(result.get("error"), KeyError)
+
+
+def test_oversized_payload_raises_and_feed_survives(broker):
+    """PayloadTooLarge on a too-big message; the NEXT receive still works
+    (the C side consumed + truncated the oversized frame)."""
+    with transport.Node(broker.port) as sub, transport.Node(broker.port) as pub:
+        sub.subscribe("t/big", depth=4)
+        time.sleep(0.05)
+        pub.publish("t/big", b"x" * 4096)
+        pub.publish("t/big", b"ok")
+        with pytest.raises(transport.PayloadTooLarge):
+            sub.receive("t/big", timeout=2.0, max_bytes=64)
+        assert sub.receive("t/big", timeout=2.0) == b"ok"
+
+
+def test_image_bridge_drops_oversized_frame_and_continues(broker):
+    """One oversized frame must not silently kill a drone's pump thread."""
+    fs = stream_mod.FrameStream(num_drones=1)
+    with transport.Node(broker.port) as rx, transport.Node(broker.port) as tx:
+        bridge = transport.ImageStreamBridge(rx, fs, drones=[0],
+                                             max_bytes=1024)
+        time.sleep(0.05)
+        big = np.zeros((64, 64), np.uint8)      # 4 KB > max_bytes
+        small = np.full((8, 8), 5, np.uint8)    # fits
+        with pytest.warns(RuntimeWarning, match="oversized"):
+            tx.publish(transport.image_topic(0),
+                       transport.encode_image(0, big, 1.0))
+            tx.publish(transport.image_topic(0),
+                       transport.encode_image(0, small, 2.0))
+            got = fs.pop(0, timeout=5.0)
+        bridge.close()
+    assert got is not None
+    ts, img = got
+    assert ts == 2.0
+    np.testing.assert_array_equal(img, small)
+
+
+def test_publisher_degrades_when_bus_dies():
+    """TransportPublisher must swallow bus loss (advisory telemetry), not
+    abort the session — LiveViz-parity for the viz slot."""
+    b = transport.Broker()
+    node = transport.Node(b.port)
+    sink = transport.TransportPublisher(node)
+    sink.publish_pose(0, np.zeros(3))
+    b.close()  # kill the bus under the publisher
+    time.sleep(0.1)
+    with pytest.warns(RuntimeWarning, match="bus connection lost"):
+        for _ in range(20):  # socket buffering may absorb the first sends
+            sink.publish_pose(0, np.ones(3))
+            if sink._dead:
+                break
+            time.sleep(0.05)
+    assert sink._dead
+    sink.publish_pose(0, np.ones(3))  # no raise once degraded
+    node.close()
+
+
+def test_broker_stop_with_live_clients_is_clean():
+    """Stopping a broker with connected clients must join its reader
+    threads (not free the broker under them) and unblock receivers."""
+    b = transport.Broker()
+    nodes = [transport.Node(b.port) for _ in range(4)]
+    for i, n in enumerate(nodes):
+        n.subscribe(f"t/{i}", depth=2)
+    time.sleep(0.05)
+    b.close()
+    # nodes observe the closed bus rather than hanging
+    for i, n in enumerate(nodes):
+        with pytest.raises(transport.TransportClosed):
+            n.receive(f"t/{i}", timeout=5.0)
+    for n in nodes:
+        n.close()
+
+
 _CHILD = r"""
 import sys, time
 import numpy as np
