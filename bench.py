@@ -178,6 +178,8 @@ def main():
 
     if not small and os.environ.get("COLOC_BENCH_CAPACITY", "1") == "1":
         _bench_capacity(cam, img, iters)
+    if not small and os.environ.get("COLOC_BENCH_MAPSCALE", "1") == "1":
+        _bench_map_scaling(config, cam, feats0, iters)
     if not small and os.environ.get("COLOC_BENCH_AKAZE", "1") == "1":
         _bench_akaze(scene, img, iters)
     if not small and os.environ.get("COLOC_BENCH_SESSION", "1") == "1":
@@ -283,6 +285,70 @@ def _bench_capacity(cam, img, iters):
         f"k2nn kernel {gcmp:.0f} G cmp/s "
         f"(CUDAK2NN GTX1080: 63 G cmp/s)",
         file=sys.stderr,
+    )
+
+
+def _bench_map_scaling(config, cam, feats0, iters):
+    """Map-growth headroom: the headline match+localize op against landmark
+    banks far beyond the reference's 5000-descriptor cap (SURVEY §5
+    'long-context analog': the reference REPLACES its map wholesale because
+    brute-force matching is O(map); here the resident HBM bank + MXU 2-NN
+    keep growing maps cheap on ONE chip — and mesh.sharded_map_match shards
+    the bank across chips past that). Stderr only."""
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from coloc_tpu.matching import match_with_map, pack_map_bank
+    from coloc_tpu.sfm import localize
+    from coloc_tpu.types import MapDB
+
+    kp = feats0.xy.shape[0]
+    rng = np.random.default_rng(3)
+    uv = np.asarray(feats0.xy)
+    depths = rng.uniform(5.0, 14.0, (kp, 1)).astype(np.float32)
+    Kinv = np.linalg.inv(np.asarray(cam.K))
+    dirs = (Kinv @ np.c_[uv, np.ones(kp)].T).T.astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    lines = []
+    for landmarks in (16384, 65536):
+        pad = landmarks - kp
+        mapdb = MapDB(
+            X=jnp.asarray(np.concatenate(
+                [dirs * depths, rng.uniform(-3, 3, (pad, 3))]), jnp.float32),
+            desc=jnp.concatenate([
+                feats0.desc,
+                jnp.asarray(rng.integers(0, 2**32, (pad, 16),
+                                         dtype=np.uint64).astype(np.uint32)),
+            ]),
+            valid=jnp.ones(landmarks, bool),
+        )
+        bank = pack_map_bank(mapdb)
+
+        @jax.jit
+        def loop(key, desc0, mapdb=mapdb, bank=bank):
+            def body(i, carry):
+                k, desc = carry
+                k1, k2 = jax.random.split(k)
+                f = feats0._replace(desc=desc)
+                mm = match_with_map(f, mapdb, config.matcher, bank=bank)
+                pwc, _ = localize.localize_image(
+                    k1, f, mm, mapdb, cam, config.ransac, config.refiner
+                )
+                zero = jnp.where(pwc.pose.C[0] < 1e30, 0, 1).astype(jnp.uint32)
+                return (k2, feats0.desc ^ zero)
+            return jax.lax.fori_loop(0, iters, body, (key, desc0))
+
+        jax.block_until_ready(loop(key, feats0.desc))
+        t0 = time.time()
+        jax.block_until_ready(loop(key, feats0.desc))
+        dt = (time.time() - t0) / iters
+        lines.append(f"map={landmarks}: {dt * 1e3:.2f}ms ({1 / dt:.1f} ops/s)")
+    print(
+        f"# map scaling kp={kp} (reference map cap: 5000): "
+        + "; ".join(lines), file=sys.stderr,
     )
 
 
