@@ -94,22 +94,44 @@ def hamming_2nn_xla(
 
 _TQ = 512    # query tile rows
 _TT = 2048   # train tile rows (tuned on v5e; see bench notes in docstring)
+_MIN_KEY = -(1 << 30)
+# dot-space encoding of an INVALID-distance result: dist = (512 - dot) / 2,
+# so dot = 512 - 2*dist hits _INVALID_DIST at 512 - 2*2048
+_DOT_INVALID = DESC_BITS - 2 * _INVALID_DIST
 
 
-def _k2nn_kernel(q_ref, t_ref, pen_ref, idx_ref, best_ref, second_ref,
-                 best_s, second_s, idx_s):
+def _k2nn_kernel(q_ref, t_ref, penrcol_ref, idx_ref, best_ref, second_ref,
+                 bdot_s, sdot_s, idx_s):
     """Grid = (Q/TQ, T/TT); ti (dim 1) iterates fastest, accumulating the
-    running (best, second, argbest) per query row in VMEM scratch."""
+    running (best, second, argbest) per query row in VMEM scratch.
+
+    The epilogue works entirely in DOT space (maximize <s_q, s_t>) with a
+    single packed int32 key per element:
+
+        key = (dot << 16) + penrcol,   penrcol = pen*65536 + (TT-1-col)
+
+    so one max-reduce yields both the best penalized dot (high 16 bits,
+    arithmetic >>16 is exact for any sign since the low half is in [0, 2^16))
+    and the LOWEST column attaining it (reversed-column tiebreak in the low
+    bits); keys are unique, so masking exactly the argmax element and
+    max-reducing again yields the second-best with CUDAK2NN duplicate
+    semantics (a duplicated best descriptor leaves its twin as second).
+    Four elementwise passes over the (TQ, TT) tile (shift, add, compare,
+    select) + two reduces — down from seven in the dist-space formulation;
+    measured on v5e at Q=5120, T=8192: 127 -> 166 G cmp/s (matmul + row-sum
+    ceiling of the same tiling: 212 G cmp/s; the MXU int8 dot issues at
+    ~bf16 MAC rate). Only the final (TQ, 1) triple converts back to
+    distances. Penalized dots stay within int32 key range:
+    dot + pen >= -512 - 4096, so key >= -302M."""
     ti = pl.program_id(1)
 
     @pl.when(ti == 0)
     def _():
-        best_s[:] = jnp.full_like(best_s, _INVALID_DIST)
-        second_s[:] = jnp.full_like(second_s, _INVALID_DIST)
+        bdot_s[:] = jnp.full_like(bdot_s, _DOT_INVALID)
+        sdot_s[:] = jnp.full_like(sdot_s, _DOT_INVALID)
         idx_s[:] = jnp.full_like(idx_s, -1)
 
-    # (TQ, TT) distances via MXU (int8 rate, exact int32 accumulation):
-    # dist = (512 - s_q . s_t)/2 + invalid penalty
+    # (TQ, TT) ±1 dots via MXU (exact int32 accumulation)
     dot = jax.lax.dot_general(
         q_ref[:], t_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -118,48 +140,53 @@ def _k2nn_kernel(q_ref, t_ref, pen_ref, idx_ref, best_ref, second_ref,
         # operands and makes Mosaic reject the op ("Bad lhs type")
         precision=jax.lax.Precision.DEFAULT,
     )
-    dist = (DESC_BITS - dot) // 2 + pen_ref[:]  # pen (1, TT) broadcasts
+    key = (dot << 16) + penrcol_ref[:]  # penrcol (1, TT) broadcasts
+    kmax = jnp.max(key, axis=1, keepdims=True)                      # (TQ, 1)
+    masked = jnp.where(key == kmax, _MIN_KEY, key)
+    kmax2 = jnp.max(masked, axis=1, keepdims=True)                  # (TQ, 1)
 
-    # per-tile best / second / argbest via ONE packed-key min-reduction:
-    # key = dist << 16 | col is exact in int32 (dist <= 2560 incl. penalty,
-    # col < TT <= 65536), its row-min simultaneously yields the min distance
-    # and the LOWEST column attaining it (iota-select argmin semantics).
-    # ~40% fewer epilogue ops than the two-pass min + select formulation —
-    # the epilogue, not the MXU matmul, bounds this kernel.
-    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    key = dist * 65536 + col
-    kmin = jnp.min(key, axis=1, keepdims=True)                      # (TQ, 1)
-    tile_best = kmin >> 16
-    tile_arg = kmin & 65535
-    # exactly the argmin element masked out (keys are unique), so duplicate
-    # best distances still leave the other copy for second-best
-    masked = jnp.where(key == kmin, _INVALID_DIST, dist)
-    tile_second = jnp.min(masked, axis=1, keepdims=True)            # (TQ, 1)
-    tile_arg_global = tile_arg + ti * _TT
+    tile_best = jax.lax.shift_right_arithmetic(kmax, 16)
+    tile_second = jax.lax.shift_right_arithmetic(kmax2, 16)
+    tile_arg = (_TT - 1) - (kmax & 65535) + ti * _TT
 
-    # merge running triple with tile triple
-    old_best, old_second, old_idx = best_s[:], second_s[:], idx_s[:]
-    take_new = tile_best < old_best
+    # merge running triple with tile triple (strict > keeps the earlier
+    # tile on ties -> lowest global index, matching the XLA top_k path)
+    old_best, old_second, old_idx = bdot_s[:], sdot_s[:], idx_s[:]
+    take_new = tile_best > old_best
     new_best = jnp.where(take_new, tile_best, old_best)
-    new_idx = jnp.where(take_new, tile_arg_global, old_idx)
+    new_idx = jnp.where(take_new, tile_arg, old_idx)
     new_second = jnp.where(
         take_new,
-        jnp.minimum(old_best, tile_second),
-        jnp.minimum(old_second, tile_best),
+        jnp.maximum(old_best, tile_second),
+        jnp.maximum(old_second, tile_best),
     )
-    best_s[:] = new_best
-    second_s[:] = new_second
+    bdot_s[:] = new_best
+    sdot_s[:] = new_second
     idx_s[:] = new_idx
 
     @pl.when(ti == pl.num_programs(1) - 1)
     def _():
         idx_ref[:] = idx_s[:]
-        best_ref[:] = new_best
-        second_ref[:] = new_second
+        # dot -> dist only on the (TQ, 1) result; dots are even (512 ±1
+        # terms), penalties are even multiples, so the shift is exact
+        best_ref[:] = (DESC_BITS - new_best) >> 1
+        second_ref[:] = (DESC_BITS - new_second) >> 1
+
+
+def _penrcol_row(t_valid: jnp.ndarray, Tp: int) -> jnp.ndarray:
+    """(1, Tp) int32 epilogue row: pen*65536 + (TT-1 - col%TT), where pen is
+    0 for valid entries and -2*_INVALID_DIST (dist-space +_INVALID_DIST) for
+    invalid/padded ones. Entry >= 0 iff the train row is valid."""
+    T = t_valid.shape[0]
+    pen = jnp.where(t_valid, 0, jnp.int32(-2 * _INVALID_DIST * 65536))
+    pen = jnp.pad(pen.astype(jnp.int32), (0, Tp - T),
+                  constant_values=-2 * _INVALID_DIST * 65536)
+    rcol = (_TT - 1) - (jnp.arange(Tp, dtype=jnp.int32) % _TT)
+    return (pen + rcol)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _k2nn_pallas_padded(sq, st, penalty, interpret=False):
+def _k2nn_pallas_padded(sq, st, penrcol, interpret=False):
     Qp, Tp = sq.shape[0], st.shape[0]
     grid = (Qp // _TQ, Tp // _TT)
     idx, best, second = pl.pallas_call(
@@ -197,7 +224,7 @@ def _k2nn_pallas_padded(sq, st, penalty, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(sq, st, penalty)
+    )(sq, st, penrcol)
     return idx[:, 0], best[:, 0], second[:, 0]
 
 
@@ -218,11 +245,9 @@ def hamming_2nn_pallas(
     st = unpack_bipolar(t_desc)
     sq = jnp.pad(sq, ((0, Qp - Q), (0, 0)))
     st = jnp.pad(st, ((0, Tp - T), (0, 0)))
-    penalty = jnp.where(t_valid, 0, _INVALID_DIST).astype(jnp.int32)
-    penalty = jnp.pad(penalty, (0, Tp - T), constant_values=_INVALID_DIST)
-    penalty = penalty[None, :]  # (1, Tp)
+    penrcol = _penrcol_row(t_valid, Tp)
 
-    idx, best, second = _k2nn_pallas_padded(sq, st, penalty, interpret=interpret)
+    idx, best, second = _k2nn_pallas_padded(sq, st, penrcol, interpret=interpret)
     idx, best, second = idx[:Q], best[:Q], second[:Q]
     best = jnp.where(q_valid, best, jnp.int32(_INVALID_DIST))
     second = jnp.where(q_valid, second, jnp.int32(_INVALID_DIST))
@@ -237,24 +262,24 @@ def hamming_2nn(q_desc, t_desc, q_valid, t_valid):
 
 def pack_bank(t_desc: jnp.ndarray, t_valid: jnp.ndarray):
     """Precompute the device-resident training bank (setMapData parity,
-    GPUMatcher.hpp:110-117): unpacked ±1 int8 descriptors + invalid-entry
-    penalty row, padded to kernel tiles. Re-unpacking a 4096-entry bank every
-    match call costs ~0.5 ms; a resident map bank amortizes it to zero."""
+    GPUMatcher.hpp:110-117): unpacked ±1 int8 descriptors + the kernel's
+    packed penalty/tiebreak epilogue row, padded to kernel tiles.
+    Re-unpacking a 4096-entry bank every match call costs ~0.5 ms; a
+    resident map bank amortizes it to zero."""
     T = t_desc.shape[0]
     Tp = _round_up(T, _TT)
     st = jnp.pad(unpack_bipolar(t_desc), ((0, Tp - T), (0, 0)))
-    penalty = jnp.where(t_valid, 0, _INVALID_DIST).astype(jnp.int32)
-    penalty = jnp.pad(penalty, (0, Tp - T), constant_values=_INVALID_DIST)
-    return st, penalty[None, :], T
+    return st, _penrcol_row(t_valid, Tp), T
 
 
 def hamming_2nn_bank(q_desc, q_valid, bank, interpret: bool | None = None):
     """2-NN against a precomputed resident bank (same contract as
     hamming_2nn). Falls back to the XLA path off-TPU."""
-    st, penalty, T = bank
+    st, penrcol, T = bank
     if not use_pallas() and not (interpret or interpret_mode()):
-        # reconstruct validity from the penalty row for the XLA path
-        t_valid = (penalty[0, :T] == 0)
+        # reconstruct validity from the epilogue row for the XLA path
+        # (valid entries carry only the non-negative column tiebreak bits)
+        t_valid = (penrcol[0, :T] >= 0)
         # XLA path re-unpacks; used only in CPU tests
         sq = unpack_bipolar(q_desc, jnp.float32)
         stf = st[:T].astype(jnp.float32)
@@ -273,7 +298,7 @@ def hamming_2nn_bank(q_desc, q_valid, bank, interpret: bool | None = None):
     Q = q_desc.shape[0]
     Qp = _round_up(Q, _TQ)
     sq = jnp.pad(unpack_bipolar(q_desc), ((0, Qp - Q), (0, 0)))
-    idx, best, second = _k2nn_pallas_padded(sq, st, penalty, interpret=interpret)
+    idx, best, second = _k2nn_pallas_padded(sq, st, penrcol, interpret=interpret)
     idx, best, second = idx[:Q], best[:Q], second[:Q]
     best = jnp.where(q_valid, best, jnp.int32(_INVALID_DIST))
     second = jnp.where(q_valid, second, jnp.int32(_INVALID_DIST))

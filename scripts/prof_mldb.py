@@ -149,6 +149,19 @@ def main():
             return patch_ops.sample_raster_flat(
                 src6, R_img, row0_ori, c0, lx, ly, C=2, ph=48, pw=128)
 
+        if stage == "orient_sample":
+            # sampler2 call alone (disc coords + fused DMA/MXU kernel), no
+            # histogram post-processing
+            disc = jnp.asarray(mldb._DISC)
+            sx = kp_x[:, None] + kp_sig[:, None] * disc[None, :, 0]
+            sy = kp_y[:, None] + kp_sig[:, None] * disc[None, :, 1]
+            sx = jnp.clip(sx, 0.0, (w_l - 1.0)[:, None])
+            sy = jnp.clip(sy, 0.0, (h_l - 1.0)[:, None])
+            lx = sx - col0_eff.astype(jnp.float32)[:, None]
+            ly = sy - (row0_local + ro).astype(jnp.float32)[:, None]
+            g = sampler2(lx, ly)
+            return g.sum() + kp_x.sum()
+
         kp_angle = mldb.orientation(
             sampler2, kp_x, kp_y, kp_sig, w_l, h_l, col0_eff, row0_local + ro)
         if stage == "orient":
@@ -158,6 +171,25 @@ def main():
             return patch_ops.sample_raster_flat(
                 src6, R_img, row0_dma, c0, lx, ly, C=3, pw=128)
 
+        if stage == "desc_sample":
+            # sampler3 call alone (rotated grid coords + kernel), no steering
+            # / cell means / bit packing; fixed angle stands in for the
+            # orientation result
+            coords = jnp.asarray(mldb._COORDS)
+            ang = jnp.zeros_like(kp_x) + 0.3
+            ca, sa = jnp.cos(ang), jnp.sin(ang)
+            half = mldb._PATCH_HALF * kp_sig
+            u = coords[None, :, 0] * half[:, None]
+            v = coords[None, :, 1] * half[:, None]
+            rx = ca[:, None] * u - sa[:, None] * v
+            ry = sa[:, None] * u + ca[:, None] * v
+            sx = jnp.clip(kp_x[:, None] + rx, 0.0, (w_l - 1.0)[:, None])
+            sy = jnp.clip(kp_y[:, None] + ry, 0.0, (h_l - 1.0)[:, None])
+            lx = sx - col0_eff.astype(jnp.float32)[:, None]
+            ly = sy - row0_local.astype(jnp.float32)[:, None]
+            g = sampler3(lx, ly)
+            return g.sum() + kp_x.sum()
+
         desc = mldb.describe_mldb(
             sampler3, kp_x, kp_y, kp_sig, kp_angle,
             w_l, h_l, col0_eff, row0_local)
@@ -165,12 +197,23 @@ def main():
 
     t_det = chain_time(lambda x: prefix(x, "detect"), img)
     print(f"  detection prefix                  {t_det*1e3:7.3f} ms")
+    t_os = chain_time(lambda x: prefix(x, "orient_sample"), img)
+    print(f"  + ori sampler only                {t_os*1e3:7.3f} ms "
+          f"(sampler2 = {(t_os-t_det)*1e3:.3f})")
     t_ori = chain_time(lambda x: prefix(x, "orient"), img)
     print(f"  + orientation pass                {t_ori*1e3:7.3f} ms "
-          f"(orientation = {(t_ori-t_det)*1e3:.3f})")
+          f"(orientation = {(t_ori-t_det)*1e3:.3f}, "
+          f"post = {(t_ori-t_os)*1e3:.3f})")
+    # NB: desc_sample SKIPS orientation (fixed angle), so sampler3 cost is
+    # relative to the detection prefix, and describe post-processing is
+    # (describe total) - (sampler3 alone)
+    t_ds = chain_time(lambda x: prefix(x, "desc_sample"), img)
+    print(f"  + desc sampler only (fixed angle) {t_ds*1e3:7.3f} ms "
+          f"(sampler3 = {(t_ds-t_det)*1e3:.3f})")
     t_desc = chain_time(lambda x: prefix(x, "describe"), img)
     print(f"  + describe pass                   {t_desc*1e3:7.3f} ms "
-          f"(describe = {(t_desc-t_ori)*1e3:.3f})")
+          f"(describe = {(t_desc-t_ori)*1e3:.3f}, "
+          f"post = {((t_desc-t_ori)-(t_ds-t_det))*1e3:.3f})")
 
 
 if __name__ == "__main__":

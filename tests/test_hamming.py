@@ -102,6 +102,48 @@ class TestPallasKernel:
         np.testing.assert_array_equal(np.asarray(pb), np.zeros(40))
         np.testing.assert_array_equal(np.asarray(pi), sel)
 
+    def test_duplicate_and_tie_semantics(self, rng):
+        """Regression for the packed-key epilogue: a duplicated best
+        descriptor must leave its twin as second-best (CUDAK2NN semantics),
+        ties must resolve to the LOWEST train index (incl. across train
+        tiles), and invalid rows must shift distances by exactly
+        _INVALID_DIST."""
+        T = 4200  # > _TT so duplicates land in different kernel tiles
+        td = random_desc(rng, T)
+        # plant: query 0's best appears at train rows 7, 2100 and 4100
+        td = td.at[2100].set(td[7])
+        td = td.at[4100].set(td[7])
+        qd = td[jnp.asarray([7, 50])]
+        qv = jnp.ones(2, bool)
+        tv = np.ones(T, bool)
+        tv[30:60] = False  # invalidates query 1's own row (50)
+        tv = jnp.asarray(tv)
+
+        pi, pb, ps = hamming.hamming_2nn_pallas(qd, td, qv, tv, interpret=True)
+        # duplicate best: dist 0 at the lowest copy, second ALSO 0
+        assert int(pi[0]) == 7
+        assert int(pb[0]) == 0 and int(ps[0]) == 0
+        # query 1's exact row is invalid -> its penalized self-distance is
+        # 0 + _INVALID_DIST; the true best is whatever valid row is nearest
+        xi, xb, xs = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        np.testing.assert_array_equal(np.asarray(pb), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(ps), np.asarray(xs))
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+    def test_all_invalid_targets(self, rng):
+        """With every train row invalid the kernel must report idx=-1 and
+        best=second=_INVALID_DIST (the session layer treats that as 'no
+        match', never a spurious index)."""
+        qd, td = random_desc(rng, 8), random_desc(rng, 100)
+        qv = jnp.ones(8, bool)
+        tv = jnp.zeros(100, bool)
+        pi, pb, ps = hamming.hamming_2nn_pallas(qd, td, qv, tv, interpret=True)
+        np.testing.assert_array_equal(np.asarray(pi), -np.ones(8))
+        np.testing.assert_array_equal(
+            np.asarray(pb), np.full(8, hamming._INVALID_DIST))
+        np.testing.assert_array_equal(
+            np.asarray(ps), np.full(8, hamming._INVALID_DIST))
+
 
 class TestAcceptSemantics:
     def _features(self, desc, n_valid=None):
