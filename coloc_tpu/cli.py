@@ -57,6 +57,11 @@ def main(argv=None):
                          "coloc_node.cpp:81; lower for small/low-contrast "
                          "frames)")
     ap.add_argument("--inter-every", type=int, default=10)
+    ap.add_argument("--extend-map-every", type=int, default=0,
+                    help="every N frames grow the map with newly "
+                         "triangulated landmarks into free slots "
+                         "(session.extend_map; 0 = off, the reference "
+                         "only supports wholesale updateMap rebuilds)")
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a synthetic dataset instead of reading --folder")
     ap.add_argument("--euroc", nargs="+", metavar="SEQ",
@@ -174,7 +179,8 @@ def main(argv=None):
         }
 
     t0 = time.time()
-    results = session.run(frames, inter_every=args.inter_every)
+    results = session.run(frames, inter_every=args.inter_every,
+                          extend_map_every=args.extend_map_every)
     dt = time.time() - t0
     n_done = sum(len(v) for v in results.values())
     n_ok = sum(int(bool(p.success)) for v in results.values() for p in v)

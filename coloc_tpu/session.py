@@ -680,6 +680,121 @@ class ColocSession:
                                  np.asarray(self.mapdb.valid))
         return True
 
+    def extend_map(self, images: Dict[int, np.ndarray],
+                   novelty_min_dist: int = 64) -> int:
+        """Incremental map GROWTH: triangulate NEW landmarks from the current
+        frames into free MapDB slots.
+
+        Beyond-reference capability: the reference's only map maintenance is
+        updateMap's wholesale rebuild (coloc.hpp:394-459), which throws away
+        every landmark; its in-algorithm precedent for *adding* gated new
+        points to an existing map is resectionCamera's new-landmark
+        triangulation (Reconstructor.hpp:354-412), which we apply to the live
+        session map here:
+
+          1. detect features per drone, match against the resident map bank,
+             P3P-localize each drone (poses in the current map's world frame)
+          2. candidates = valid features that did NOT match the map AND whose
+             best map Hamming distance exceeds `novelty_min_dist` (the margin
+             test alone under-reports novelty when two map descriptors are
+             mutually similar — the distance floor blocks duplicates)
+          3. per localized drone pair: margin-match the candidates, enforce
+             one-landmark-per-train-feature injectivity, DLT-triangulate with
+             the absolute poses under the resection gates (ray angle >= 2 deg,
+             positive depth, |Z| < 1000, reprojection < 4 px in both views,
+             Reconstructor.hpp:380-391)
+          4. write survivors into FREE map slots (first-observation descriptor
+             convention, colocData.hpp:111-119), up to capacity
+
+        Returns the number of landmarks added. The bootstrap Scene keeps its
+        original slots — extended landmarks exist only in the MapDB, and a
+        later update_map() rebuild replaces them like everything else.
+        """
+        cfg = self.config
+        if not self.map_ready or self.mapdb is None:
+            return 0
+        valid_np = np.array(self.mapdb.valid)
+        free = np.flatnonzero(~valid_np)
+        if free.size == 0:
+            return 0
+        bank = self._map_bank()
+        D = cfg.num_drones
+
+        feats: Dict[int, Features] = {}
+        poses: Dict[int, Pose] = {}
+        loc_ok: Dict[int, bool] = {}
+        cand: Dict[int, np.ndarray] = {}
+        for d in range(D):
+            f = self.detect(images[d])
+            mm = matching.match_with_map(f, self.mapdb, cfg.matcher, bank=bank)
+            pwc, _ = localize.localize_image(
+                self._next_key(), f, mm, self.mapdb, self.cams[d],
+                cfg.ransac, cfg.refiner,
+            )
+            feats[d], poses[d] = f, pwc.pose
+            loc_ok[d] = bool(pwc.success)
+            cand[d] = (
+                np.asarray(f.valid)
+                & ~np.asarray(mm.mask)
+                & (np.asarray(mm.best) > novelty_min_dist)
+            )
+
+        X_np = np.array(self.mapdb.X)
+        desc_np = np.array(self.mapdb.desc)
+        added = 0
+
+        for (a, b) in utils.exhaustive_pairs(D):
+            if added >= free.size or not (loc_ok[a] and loc_ok[b]):
+                continue
+            if not cand[a].any() or not cand[b].any():
+                continue
+            fa = feats[a]._replace(valid=jnp.asarray(cand[a]))
+            fb = feats[b]._replace(valid=jnp.asarray(cand[b]))
+            m = matching.match_pair(fa, fb, cfg.matcher)
+            idx = np.asarray(m.idx)
+            safe = np.clip(idx, 0, feats[b].capacity - 1)
+            ok = (idx >= 0) & cand[a] & cand[b][safe]
+            # injectivity: one new landmark per train feature (lowest query)
+            seen: set = set()
+            for q in np.flatnonzero(ok):
+                t = int(idx[q])
+                if t in seen:
+                    ok[q] = False
+                else:
+                    seen.add(t)
+            if not ok.any():
+                continue
+
+            Xn, okn = reconstruct._triangulate_pair(
+                poses[a].R, poses[a].C, poses[b].R, poses[b].C,
+                self.cams[a], self.cams[b],
+                feats[a].xy, feats[b].xy[jnp.asarray(safe)],
+                jnp.asarray(ok),
+                reconstruct._MAX_Z_RESECTION,
+                reconstruct._MIN_RAY_ANGLE_DEG, 16.0,
+            )
+            okn = np.asarray(okn)
+            take = np.flatnonzero(okn)[: free.size - added]
+            if take.size == 0:
+                continue
+            slots = free[added : added + take.size]
+            X_np[slots] = np.asarray(Xn)[take]
+            desc_np[slots] = np.asarray(feats[a].desc)[take]
+            valid_np[slots] = True
+            # consume the features so later pairs can't re-add the same point
+            cand[a][take] = False
+            cand[b][idx[take]] = False
+            added += take.size
+
+        if added:
+            self.mapdb = MapDB(
+                X=jnp.asarray(X_np), desc=jnp.asarray(desc_np),
+                valid=jnp.asarray(valid_np),
+            )
+            if self.viz is not None:
+                self.viz.publish_map(X_np, valid_np)
+        return added
+
     # ------------------------------------------------------------- main loop
     def run(
         self,
@@ -688,6 +803,7 @@ class ColocSession:
         update_map_every: int = 0,
         auto_update_map: bool = False,
         auto_update_patience: int = 3,
+        extend_map_every: int = 0,
     ) -> Dict[int, list]:
         """mainThread parity (coloc.hpp:96-148). Returns per-drone pose lists.
 
@@ -696,7 +812,12 @@ class ColocSession:
         `auto_update_patience` CONSECUTIVE frames where every drone failed to
         localize — map-degradation recovery in the spirit of updateMap
         (coloc.hpp:394-459) without discarding a good map on one bad frame
-        (the KF coasts through transients)."""
+        (the KF coasts through transients).
+
+        `extend_map_every` (opt-in; beyond-reference): every N frames grow
+        the map with newly triangulated landmarks (extend_map) instead of
+        replacing it wholesale — free MapDB capacity fills as drones see new
+        parts of the scene."""
         cfg = self.config
         num_frames = min(len(v) for v in frames.values())
         out = {d: [] for d in range(cfg.num_drones)}
@@ -737,6 +858,12 @@ class ColocSession:
                         consecutive_failures = 0
                 if trigger:
                     self.update_map(
+                        {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
+                    )
+                elif (extend_map_every
+                      and frame_idx % extend_map_every == 0
+                      and cfg.num_drones >= 2):
+                    self.extend_map(
                         {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
                     )
                 # periodic flush bounds queued device pytrees without breaking

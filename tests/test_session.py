@@ -2,6 +2,7 @@
 (SURVEY.md §4: multi-drone simulation from per-drone image sequences,
 golden config 5: full collaborative session)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -137,6 +138,46 @@ class TestSession:
         assert ok
         # map rebuilt from newer frames: landmark bank changed
         assert not np.array_equal(np.asarray(session.scene.X), X_before)
+
+    def test_extend_map_growth(self, dataset):
+        """Incremental map growth (beyond-reference): extend_map triangulates
+        NEW landmarks from a later viewpoint into free MapDB slots, the grown
+        map still localizes, and re-extending with the SAME frames adds
+        (almost) nothing — the novelty gate sees the just-added descriptors."""
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        n0 = int(session.mapdb.count)
+
+        imgs3 = {0: frames[0][3], 1: frames[1][3]}
+        added = session.extend_map(imgs3)
+        n1 = int(session.mapdb.count)
+        assert added > 0
+        assert n1 == n0 + added
+        # grown entries are finite and inside the resection |Z| gate
+        X = np.asarray(session.mapdb.X)[np.asarray(session.mapdb.valid)]
+        assert np.isfinite(X).all() and (np.abs(X[:, 2]) < 1000).all()
+
+        # the grown map still localizes subsequent frames
+        res = session.intra_pose_all({0: frames[0][4], 1: frames[1][4]})
+        for d in (0, 1):
+            assert bool(res[d].success), f"drone {d} lost localization"
+
+        # dedup: the same frames again must add far fewer landmarks
+        added2 = session.extend_map(imgs3)
+        assert added2 < max(1, added // 4)
+
+    def test_extend_map_respects_capacity(self, dataset):
+        """A full map cannot grow: extend_map returns 0 and leaves the bank
+        untouched when no free slots exist."""
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        full = session.mapdb._replace(
+            valid=jnp.ones_like(session.mapdb.valid))
+        session.mapdb = full
+        assert session.extend_map({0: frames[0][3], 1: frames[1][3]}) == 0
+        assert session.mapdb is full
 
 
 class TestDeterminism:
