@@ -795,6 +795,67 @@ class ColocSession:
                 self.viz.publish_map(X_np, valid_np)
         return added
 
+    def merge_map_from(self, other: MapDB, novelty_min_dist: int = 64,
+                       min_matches: int = 12) -> int:
+        """Merge ANOTHER session's map into this one (multi-session map
+        fusion). Beyond-reference capability: the reference aligns two maps
+        only transiently inside interPoseEstimator (matchMaps +
+        computeScaleDifference + rescaleMap, coloc.hpp:334-370) and discards
+        the alignment after fusing poses; here the alignment persists as map
+        content:
+
+          1. map-to-map 2-NN descriptor match (matchMapFeatures parity)
+          2. Sim(3) alignment of `other` into this map's frame from the
+             matched 3D-3D landmark pairs (utils.align_maps — full
+             similarity, since independent sessions share neither scale nor
+             orientation)
+          3. matched landmarks are duplicates (this map's copy wins,
+             first-observation convention); `other`'s unmatched landmarks
+             whose best Hamming distance to this map exceeds
+             `novelty_min_dist` are transformed into this frame and written
+             to free slots, up to capacity
+
+        Returns the number of landmarks added (0 when the maps share fewer
+        than `min_matches` landmarks — no reliable alignment exists)."""
+        cfg = self.config
+        if not self.map_ready or self.mapdb is None:
+            return 0
+        aln = utils.align_maps(self.mapdb, other, cfg.matcher, min_matches)
+        if aln is None:
+            return 0
+        s, R, t, _, matched_b = aln
+        valid_np = np.array(self.mapdb.valid)
+        free = np.flatnonzero(~valid_np)
+        if free.size == 0:
+            return 0
+        # novelty gate from other's side: unmatched in the reverse direction
+        # AND far from every resident descriptor (same floor as extend_map)
+        mrev = matching.match_maps(other, self.mapdb, cfg.matcher)
+        novel = (
+            np.asarray(other.valid)
+            & ~matched_b
+            & ~np.asarray(mrev.mask)
+            & (np.asarray(mrev.best) > novelty_min_dist)
+        )
+        take = np.flatnonzero(novel)[: free.size]
+        if take.size == 0:
+            return 0
+        Xb = np.asarray(other.X)[take]
+        Xt = ((s * (R @ Xb.T)).T + t).astype(np.float32)
+        X_np = np.array(self.mapdb.X)
+        desc_np = np.array(self.mapdb.desc)
+        slots = free[: take.size]
+        X_np[slots] = Xt
+        desc_np[slots] = np.asarray(other.desc)[take]
+        valid_np[slots] = True
+        self.mapdb = MapDB(
+            X=jnp.asarray(X_np), desc=jnp.asarray(desc_np),
+            valid=jnp.asarray(valid_np),
+        )
+        if self.viz is not None:
+            self.viz.publish_map(X_np, valid_np)
+        return int(take.size)
+
     # ------------------------------------------------------------- main loop
     def run(
         self,

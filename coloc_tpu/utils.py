@@ -57,6 +57,51 @@ def rescale_map(X: jnp.ndarray, Cs: jnp.ndarray, scale) -> Tuple[jnp.ndarray, jn
     return X * scale, Cs * scale
 
 
+def align_maps(map_a: MapDB, map_b: MapDB, opts, min_matches: int = 12):
+    """Sim(3) alignment of map_b into map_a's world frame from map-to-map
+    descriptor matches: returns (s, R, t, n_inliers, matched_b) with
+    X_a ~= s R X_b + t, or None when fewer than `min_matches` common
+    landmarks survive.
+
+    Generalizes the reference's scale-only alignment
+    (computeScaleDifference + rescaleMap, colocUtils.hpp:184-223, which
+    assumes both maps share an orientation because interPoseEstimator
+    already rotated the temp scene): independently-built session maps share
+    neither scale nor orientation nor origin, so the matched 3D-3D landmark
+    pairs are fit with the Umeyama closed-form similarity instead. One
+    reweighting round drops pairs whose residual exceeds 3x the median —
+    a wrong descriptor match is a 3D outlier that least squares would
+    otherwise absorb (host-side numpy; map merging is an infrequent event,
+    like the reference's updateMap).
+
+    `matched_b` marks map_b entries consumed by a match (duplicates of
+    map_a landmarks — a merge keeps map_a's copy, first-observation
+    convention, colocData.hpp:111-119).
+    """
+    import numpy as np
+
+    from coloc_tpu import matching, metrics
+
+    m = matching.match_maps(map_a, map_b, opts)
+    idx = np.asarray(m.idx)
+    vb = np.asarray(map_b.valid)
+    safe = np.clip(idx, 0, vb.size - 1)
+    ok = np.asarray(m.mask) & np.asarray(map_a.valid) & vb[safe]
+    if int(ok.sum()) < min_matches:
+        return None
+    Xa = np.asarray(map_a.X)[ok]
+    Xb = np.asarray(map_b.X)[safe[ok]]
+    s, R, t = metrics.umeyama_alignment(Xb, Xa, with_scale=True)
+    res = np.linalg.norm((s * (R @ Xb.T)).T + t - Xa, axis=1)
+    keep = res <= 3.0 * max(float(np.median(res)), 1e-9)
+    if int(keep.sum()) >= min_matches and not keep.all():
+        s, R, t = metrics.umeyama_alignment(Xb[keep], Xa[keep],
+                                            with_scale=True)
+    matched_b = np.zeros(vb.size, bool)
+    matched_b[safe[ok]] = True
+    return s, R, t, int(keep.sum()), matched_b
+
+
 def guided_match_residuals(
     K1: jnp.ndarray,           # (3, 3) intrinsics of map A's anchor view
     K2: jnp.ndarray,           # (3, 3) intrinsics of map B's anchor view

@@ -167,6 +167,86 @@ class TestSession:
         added2 = session.extend_map(imgs3)
         assert added2 < max(1, added // 4)
 
+    def test_merge_map_from_sim3(self, dataset):
+        """Multi-session map fusion (beyond-reference): a second map that is
+        a Sim(3)-transformed copy of this one plus novel landmarks merges
+        back — the alignment is recovered from descriptor matches alone and
+        novel landmarks land at their positions in THIS map's frame."""
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        mapdb = session.mapdb
+        valid = np.asarray(mapdb.valid)
+        n_valid = int(valid.sum())
+        cap = valid.size
+        assert n_valid < cap, "test needs free slots"
+
+        # ground-truth Sim(3): other = s_o R_o X + t_o
+        rng = np.random.default_rng(7)
+        s_o = 2.5
+        ang = 0.8
+        R_o = np.array(
+            [[np.cos(ang), -np.sin(ang), 0],
+             [np.sin(ang), np.cos(ang), 0],
+             [0, 0, 1]], np.float64)
+        t_o = np.array([1.0, -2.0, 0.5])
+
+        X_a = np.asarray(mapdb.X, np.float64)
+        n_novel = min(16, cap - n_valid)
+        X_gt_novel = rng.uniform(-4, 4, (n_novel, 3))  # in A's frame
+        desc_novel = rng.integers(0, 2**32, (n_novel, 16), dtype=np.uint64
+                                  ).astype(np.uint32)
+
+        other_X = np.zeros((cap, 3), np.float32)
+        other_X[:n_valid] = ((s_o * (R_o @ X_a[valid].T)).T + t_o)
+        other_X[n_valid:n_valid + n_novel] = (
+            (s_o * (R_o @ X_gt_novel.T)).T + t_o)
+        other_desc = np.array(mapdb.desc)
+        other_desc[:n_valid] = np.asarray(mapdb.desc)[valid]
+        other_desc[n_valid:n_valid + n_novel] = desc_novel
+        other_valid = np.zeros(cap, bool)
+        other_valid[: n_valid + n_novel] = True
+        other = type(mapdb)(X=jnp.asarray(other_X),
+                            desc=jnp.asarray(other_desc),
+                            valid=jnp.asarray(other_valid))
+
+        from coloc_tpu import utils
+        aln = utils.align_maps(mapdb, other, session.config.matcher)
+        assert aln is not None
+        s, R, t, n_in, _ = aln
+        assert np.isclose(s * s_o, 1.0, rtol=1e-3)
+        assert np.allclose(R @ R_o, np.eye(3), atol=1e-3)
+
+        added = session.merge_map_from(other)
+        assert added == n_novel
+        # the merged novel landmarks sit at their A-frame ground truth
+        X_m = np.asarray(session.mapdb.X)
+        slots = np.flatnonzero(~valid)[:added]
+        err = np.linalg.norm(X_m[slots] - X_gt_novel, axis=1)
+        assert err.max() < 1e-2, err.max()
+        # merged map still localizes
+        res = session.intra_pose_all({0: frames[0][1], 1: frames[1][1]})
+        for d in (0, 1):
+            assert bool(res[d].success)
+
+    def test_merge_map_disjoint_returns_zero(self, dataset):
+        """Maps with no common landmarks cannot be aligned: merge is a
+        no-op (returns 0, map untouched)."""
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        rng = np.random.default_rng(11)
+        cap = int(session.mapdb.valid.size)
+        other = session.mapdb._replace(
+            X=jnp.asarray(rng.uniform(-5, 5, (cap, 3)).astype(np.float32)),
+            desc=jnp.asarray(rng.integers(0, 2**32, (cap, 16),
+                                          dtype=np.uint64).astype(np.uint32)),
+            valid=jnp.ones(cap, bool),
+        )
+        before = session.mapdb
+        assert session.merge_map_from(other) == 0
+        assert session.mapdb is before
+
     def test_extend_map_respects_capacity(self, dataset):
         """A full map cannot grow: extend_map returns 0 and leaves the bank
         untouched when no free slots exist."""
