@@ -356,12 +356,12 @@ def _bench_map_scaling(config, cam, feats0, iters):
 
 def _bench_batched_serving(config, cam, mapdb, feats0, iters):
     """Production-serving throughput: B independent frame streams
-    matched+localized in ONE dispatch per step (the drone-axis batching of
-    session._intra_all_device_step applied as a serving batch). The single-
-    stream headline leaves the chip underfilled — its P3P RANSAC + refine
-    stages run tiny per-hypothesis matrices; batching B streams shares the
-    2-NN kernel over B*kp concatenated queries and vmaps localization, so
-    one chip serves B robot streams at far more ops/s than B= 1 x speedup.
+    matched+localized in ONE dispatch per step (serving.make_serve_step —
+    the public ServingEngine step). The single-stream headline leaves the
+    chip underfilled — its P3P RANSAC + refine stages run tiny
+    per-hypothesis matrices; batching B streams shares the 2-NN kernel
+    over B*kp concatenated queries and vmaps localization, so one chip
+    serves B robot streams at far more ops/s than B= 1 x speedup.
     Stderr only; the stdout headline stays single-stream."""
     import sys
     import time
@@ -369,11 +369,8 @@ def _bench_batched_serving(config, cam, mapdb, feats0, iters):
     import jax
     import jax.numpy as jnp
 
-    from coloc_tpu import matching
+    from coloc_tpu import serving
     from coloc_tpu.matching import pack_map_bank
-    from coloc_tpu.ops import hamming
-    from coloc_tpu.sfm import localize
-    from coloc_tpu.types import Matches
 
     bank = pack_map_bank(mapdb)
     kp = feats0.xy.shape[0]
@@ -381,37 +378,20 @@ def _bench_batched_serving(config, cam, mapdb, feats0, iters):
     lines = []
     sizes = tuple(int(b) for b in os.environ.get(
         "COLOC_BENCH_BATCH_SIZES", "8,32").split(","))
+    step = serving.make_serve_step(config, cam)
     for B in sizes:
-        qv = jnp.tile(feats0.valid, B)
-
-        def op(keys, desc_b):
-            q = desc_b.reshape(B * kp, -1)
-            idx, best, second = hamming.hamming_2nn_bank(q, qv, bank)
-            m = matching._accept(
-                idx, best, second, qv, config.matcher,
-                config.matcher.margin_threshold,
-            )
-            mm = Matches(idx=m.idx.reshape(B, kp),
-                         best=m.best.reshape(B, kp),
-                         second=m.second.reshape(B, kp))
-
-            def loc_one(k, desc, m_row):
-                f = feats0._replace(desc=desc)
-                pwc, _ = localize.localize_image(
-                    k, f, m_row, mapdb, cam, config.ransac, config.refiner
-                )
-                return pwc
-
-            return jax.vmap(loc_one)(keys, desc_b, mm)
 
         @jax.jit
-        def loop(key, desc0, op=op, B=B):
+        def loop(key, desc0, B=B):
             desc_b = jnp.broadcast_to(desc0, (B,) + desc0.shape)
 
             def body(i, carry):
                 k, db = carry
                 k1, k2 = jax.random.split(k)
-                pwcs = op(jax.random.split(k1, B), db)
+                feats_b = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (B,) + x.shape), feats0
+                )._replace(desc=db)
+                pwcs, _, _ = step(k1, feats_b, mapdb, bank)
                 # per-stream runtime-zero feedback through the matcher so no
                 # stream's match+localize chain can be hoisted or deduped
                 zeros = jnp.where(pwcs.pose.C[:, 0] < 1e30, 0, 1).astype(

@@ -20,6 +20,7 @@ Module map (reference parity noted per module docstring):
   parallel/   — drone-axis mesh sharding and collectives
   io/         — disk ingest, calibration parsing, CSV/PLY logging
   session     — orchestrator (reference: coloc.hpp ColoC)
+  serving     — batched multi-stream localization server (ServingEngine)
 """
 
 __version__ = "0.1.0"
