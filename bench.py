@@ -470,7 +470,9 @@ def _bench_chained_session(config, cam, iters):
         reps, F, 2, -1
     )
     mdb = sess.mapdb
-    state = (sess.filter_bank.x, sess.filter_bank.P, sess.filter_bank.steps)
+    sess._ensure_support()
+    state = (sess.filter_bank.x, sess.filter_bank.P, sess.filter_bank.steps,
+             sess.lm_support, sess.lm_last_seen, jnp.int32(sess.frame))
     carry, _ = chain(keys[0], block, mdb.X, mdb.desc, mdb.valid, bank_st,
                      bank_pen, sess.Ks, sess.dists, *state)
     jax.block_until_ready(carry)

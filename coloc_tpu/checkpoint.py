@@ -45,6 +45,13 @@ def save_session(path: str, session) -> None:
             map_desc=np.asarray(session.mapdb.desc),
             map_valid=np.asarray(session.mapdb.valid),
         )
+        if session.lm_support is not None:
+            # landmark-support bookkeeping (session.cull_map); optional keys
+            # so older checkpoints load unchanged
+            data.update(
+                lm_support=np.asarray(session.lm_support),
+                lm_last_seen=np.asarray(session.lm_last_seen),
+            )
     if session.scene is not None:
         s = session.scene
         data.update(
@@ -75,6 +82,13 @@ def load_session(path: str, session) -> None:
             desc=jnp.asarray(z["map_desc"]),
             valid=jnp.asarray(z["map_valid"]),
         )
+        if "lm_support" in z:
+            session.lm_support = jnp.asarray(z["lm_support"])
+            session.lm_last_seen = jnp.asarray(z["lm_last_seen"])
+        else:
+            # pre-support checkpoint: rebuild lazily at current frame
+            session.lm_support = None
+            session.lm_last_seen = None
     if "scene_Rs" in z:
         session.scene = reconstruct.Scene(
             Rs=jnp.asarray(z["scene_Rs"]), Cs=jnp.asarray(z["scene_Cs"]),

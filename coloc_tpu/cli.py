@@ -62,6 +62,12 @@ def main(argv=None):
                          "triangulated landmarks into free slots "
                          "(session.extend_map; 0 = off, the reference "
                          "only supports wholesale updateMap rebuilds)")
+    ap.add_argument("--cull-every", type=int, default=0,
+                    help="every N frames retire landmarks with no recent "
+                         "inlier support (session.cull_map; 0 = off); "
+                         "pairs with --extend-map-every for slot turnover")
+    ap.add_argument("--cull-max-age", type=int, default=64,
+                    help="cull landmarks unseen for this many frames")
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a synthetic dataset instead of reading --folder")
     ap.add_argument("--euroc", nargs="+", metavar="SEQ",
@@ -180,7 +186,9 @@ def main(argv=None):
 
     t0 = time.time()
     results = session.run(frames, inter_every=args.inter_every,
-                          extend_map_every=args.extend_map_every)
+                          extend_map_every=args.extend_map_every,
+                          cull_map_every=args.cull_every,
+                          cull_max_age=args.cull_max_age)
     dt = time.time() - t0
     n_done = sum(len(v) for v in results.values())
     n_ok = sum(int(bool(p.success)) for v in results.values() for p in v)

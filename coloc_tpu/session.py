@@ -44,7 +44,10 @@ def _intra_all_device_step(cfg: ColocConfig, keys, images, mapdb: MapDB,
     localization -> vmapped KF bank update.
 
     keys (D, 2), images (D, H, W). Returns
-    (pwcs, fb', filtered, gate_dist, rej, eulers) with leading drone axes.
+    (pwcs, fb', filtered, gate_dist, rej, eulers, sup_inc) with leading
+    drone axes; sup_inc is the per-landmark inlier-support increment
+    (L,) int32 — how many drones used each landmark as a refinement
+    inlier this frame (landmark-quality signal for cull_map).
     """
     D = cfg.num_drones
     kp = cfg.detector.max_keypoints
@@ -69,19 +72,31 @@ def _intra_all_device_step(cfg: ColocConfig, keys, images, mapdb: MapDB,
 
     def loc_one(key, f, m, K, dist):
         cam = cam_ops.Camera(K=K, dist=dist)
-        pwc, _ = localize.localize_image(
+        pwc, inl = localize.localize_image(
             key, f, m, mapdb, cam, cfg.ransac, cfg.refiner
         )
-        return pwc
+        return pwc, inl
 
-    pwcs = jax.vmap(loc_one)(keys, feats, mm, Ks, dists)
+    pwcs, inls = jax.vmap(loc_one)(keys, feats, mm, Ks, dists)
+
+    # landmark support: one count per (drone, landmark) refinement inlier,
+    # gated on that drone's localization succeeding. Non-hits scatter to an
+    # out-of-range slot and drop; D*kp updates into (L,) is far below the
+    # raster-scale scatters that are slow on TPU.
+    hit = inls & mm.mask & pwcs.success[:, None]
+    L = mapdb.X.shape[0]
+    sup_inc = (
+        jnp.zeros(L, jnp.int32)
+        .at[jnp.where(hit, mm.idx, L).reshape(-1)]
+        .add(1, mode="drop")
+    )
 
     zs = jax.vmap(kalman.fill_measurement)(pwcs.pose)
     fb, filtered, dist_g, rej = kalman.update_all(
         fb, zs, pwcs.cov[:, 3:6, 3:6], pwcs.rmse, pwcs.success, cfg.filter,
     )
     eulers = jax.vmap(so3.rot_to_euler)(pwcs.pose.R)
-    return pwcs, fb, filtered, dist_g, rej, eulers
+    return pwcs, fb, filtered, dist_g, rej, eulers, sup_inc
 
 
 class ColocSession:
@@ -112,6 +127,11 @@ class ColocSession:
         self.key = jax.random.PRNGKey(seed)
         self.last_pose: Dict[int, PoseWithCov] = {}
         self._pending_logs: list = []   # deferred CSV entries (flush_logs)
+        # landmark-support bookkeeping (cull_map): career inlier count and
+        # frame of last inlier per MapDB slot; (re)built lazily against the
+        # current map capacity by _ensure_support
+        self.lm_support = None          # (L,) int32
+        self.lm_last_seen = None        # (L,) int32, creation frame if unhit
         # optional live visualization sink (io/liveviz.LiveViz — the
         # rosUtils.hpp pose/map publisher analog); pushes are no-ops when None
         self.viz = viz
@@ -193,6 +213,9 @@ class ColocSession:
             self.scene = scene
             self.mapdb = reconstruct.scene_to_mapdb(scene)
             self.map_ready = True
+            # wholesale (re)build: every slot is a fresh landmark
+            self.lm_support = None
+            self.lm_last_seen = None
             if self.viz is not None:
                 self.viz.publish_map(np.asarray(self.mapdb.X),
                                      np.asarray(self.mapdb.valid))
@@ -227,6 +250,9 @@ class ColocSession:
         self.scene = scene
         self.mapdb = reconstruct.scene_to_mapdb(scene)  # setupMapDatabase
         self.map_ready = True
+        # wholesale (re)build: every slot is a fresh landmark
+        self.lm_support = None
+        self.lm_last_seen = None
         if self.viz is not None:
             self.viz.publish_map(np.asarray(self.mapdb.X),
                                  np.asarray(self.mapdb.valid))
@@ -254,17 +280,27 @@ class ColocSession:
 
         @functools.partial(jax.jit, static_argnames=("drone",))
         def step(key, image, map_X, map_desc, map_valid, bank_st, bank_pen,
-                 fb_x, fb_P, fb_steps, drone: int):
+                 fb_x, fb_P, fb_steps, lm_sup, lm_last, frame, drone: int):
             mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
             feats = detect_and_describe(image, cfg.detector)
             # resident unpacked bank (setMapData parity) — skips the per-call
             # unpack of the full landmark bank
             bank = (bank_st, bank_pen, map_X.shape[0])
             mm = matching.match_with_map(feats, mapdb, cfg.matcher, bank=bank)
-            pwc, _ = localize.localize_image(
+            pwc, inl = localize.localize_image(
                 key, feats, mm, mapdb, self.cams[drone], cfg.ransac,
                 cfg.refiner,
             )
+            # landmark-support bookkeeping (see _intra_all_device_step)
+            hit = inl & mm.mask & pwc.success
+            L = map_X.shape[0]
+            sup_inc = (
+                jnp.zeros(L, jnp.int32)
+                .at[jnp.where(hit, mm.idx, L)]
+                .add(1, mode="drop")
+            )
+            lm_sup2 = lm_sup + sup_inc
+            lm_last2 = jnp.where(sup_inc > 0, frame, lm_last)
             bank = kalman.FilterBank(x=fb_x, P=fb_P, steps=fb_steps)
             z = kalman.fill_measurement(pwc.pose)
             bank, filtered, dist, rej = kalman.update(
@@ -272,7 +308,7 @@ class ColocSession:
                 pwc.success, cfg.filter,
             )
             euler = so3.rot_to_euler(pwc.pose.R)
-            return pwc, bank, filtered, dist, rej, euler
+            return pwc, bank, filtered, dist, rej, euler, lm_sup2, lm_last2
 
         self._fused_intra_fn = step
         return step
@@ -283,6 +319,19 @@ class ColocSession:
             self._map_bank_cached = matching.pack_map_bank(self.mapdb)
             self._map_bank_src = self.mapdb
         return self._map_bank_cached
+
+    def _ensure_support(self):
+        """(Re)build the landmark-support arrays when absent or when the map
+        was rebuilt at a different capacity. Valid slots start with zero
+        support and `lm_last_seen = current frame` (a creation timestamp, so
+        cull_map's staleness window doubles as a new-landmark grace period);
+        free slots carry -1."""
+        L = self.mapdb.X.shape[0]
+        if self.lm_support is None or self.lm_support.shape[0] != L:
+            self.lm_support = jnp.zeros(L, jnp.int32)
+            self.lm_last_seen = jnp.where(
+                self.mapdb.valid, jnp.int32(self.frame), jnp.int32(-1)
+            )
 
     def _fused_intra_all(self):
         """One jitted frame step for ALL drones: batched detect -> one 2-NN
@@ -298,13 +347,19 @@ class ColocSession:
 
         @jax.jit
         def step(keys, images, map_X, map_desc, map_valid, bank_st, bank_pen,
-                 Ks, dists, fb_x, fb_P, fb_steps):
+                 Ks, dists, fb_x, fb_P, fb_steps, lm_sup, lm_last, frame):
             mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
             bank = (bank_st, bank_pen, map_X.shape[0])
             fb = kalman.FilterBank(x=fb_x, P=fb_P, steps=fb_steps)
-            return _intra_all_device_step(
+            out = _intra_all_device_step(
                 cfg, keys, images, mapdb, bank, Ks, dists, fb
             )
+            sup_inc = out[6]
+            # fold the support bookkeeping into the same dispatch (a second
+            # tiny launch per frame would cost a full tunnel RTT)
+            lm_sup2 = lm_sup + sup_inc
+            lm_last2 = jnp.where(sup_inc > 0, frame, lm_last)
+            return out[:6] + (lm_sup2, lm_last2)
 
         self._fused_intra_all_fn = step
         return step
@@ -325,25 +380,29 @@ class ColocSession:
 
         @jax.jit
         def chain(keys, images, map_X, map_desc, map_valid, bank_st,
-                  bank_pen, Ks, dists, fb_x, fb_P, fb_steps):
+                  bank_pen, Ks, dists, fb_x, fb_P, fb_steps,
+                  lm_sup, lm_last, frame0):
             mapdb = MapDB(X=map_X, desc=map_desc, valid=map_valid)
             bank = (bank_st, bank_pen, map_X.shape[0])
 
             def body(carry, inp):
-                fb = kalman.FilterBank(*carry)
+                fb_x, fb_P, fb_steps, sup, last, frame = carry
+                fb = kalman.FilterBank(fb_x, fb_P, fb_steps)
                 k, imgs = inp
-                pwcs, fb2, filtered, dist_g, rej, eulers = (
+                pwcs, fb2, filtered, dist_g, rej, eulers, sup_inc = (
                     _intra_all_device_step(
                         cfg, k, imgs, mapdb, bank, Ks, dists, fb
                     )
                 )
                 return (
-                    (fb2.x, fb2.P, fb2.steps),
+                    (fb2.x, fb2.P, fb2.steps, sup + sup_inc,
+                     jnp.where(sup_inc > 0, frame, last), frame + 1),
                     (pwcs, fb2.P, filtered, dist_g, eulers),
                 )
 
             carry, outs = jax.lax.scan(
-                body, (fb_x, fb_P, fb_steps), (keys, images)
+                body, (fb_x, fb_P, fb_steps, lm_sup, lm_last, frame0),
+                (keys, images),
             )
             return carry, outs
 
@@ -361,6 +420,7 @@ class ColocSession:
         F = images.shape[0]
         bank_st, bank_pen, _ = self._map_bank()
         keys = jax.random.split(self._next_key(), F * D).reshape(F, D, -1)
+        self._ensure_support()
         with self.profiler.stage("intra_chunk"):
             carry, outs = self._fused_intra_scan()(
                 keys, images,
@@ -368,8 +428,10 @@ class ColocSession:
                 bank_st, bank_pen, self.Ks, self.dists,
                 self.filter_bank.x, self.filter_bank.P,
                 self.filter_bank.steps,
+                self.lm_support, self.lm_last_seen, jnp.int32(self.frame),
             )
-        self.filter_bank = kalman.FilterBank(*carry)
+        self.filter_bank = kalman.FilterBank(*carry[:3])
+        self.lm_support, self.lm_last_seen = carry[3], carry[4]
         pwcs_s, fbP_s, filtered_s, dist_s, eulers_s = outs
         if self.pose_log or self.filtered_log or self.gate_log:
             for f in range(F):
@@ -420,15 +482,19 @@ class ColocSession:
         bank_st, bank_pen, _ = self._map_bank()
         keys = jax.random.split(self._next_key(), D)
         imgs = jnp.stack([jnp.asarray(images[d]) for d in range(D)])
+        self._ensure_support()
         with self.profiler.stage("intra_step_all"):
-            pwcs, fb, filtered, dist_g, rej, eulers = self._fused_intra_all()(
+            (pwcs, fb, filtered, dist_g, rej, eulers, lm_sup,
+             lm_last) = self._fused_intra_all()(
                 keys, imgs,
                 self.mapdb.X, self.mapdb.desc, self.mapdb.valid,
                 bank_st, bank_pen, self.Ks, self.dists,
                 self.filter_bank.x, self.filter_bank.P,
                 self.filter_bank.steps,
+                self.lm_support, self.lm_last_seen, jnp.int32(self.frame),
             )
         self.filter_bank = fb
+        self.lm_support, self.lm_last_seen = lm_sup, lm_last
         # DEFERRED logging: pose/gate CSV conversion forces a host<->device
         # sync; queueing the device outputs and flushing in bulk keeps the
         # steady-state frame loop free of per-frame syncs so consecutive
@@ -497,15 +563,20 @@ class ColocSession:
         coloc.hpp:201-271). Single fused device dispatch."""
         cfg = self.config
         bank_st, bank_pen, _ = self._map_bank()
+        self._ensure_support()
         with self.profiler.stage("intra_step"):
-            pwc, bank, filtered, dist, rej, euler = self._fused_intra()(
+            (pwc, bank, filtered, dist, rej, euler, lm_sup,
+             lm_last) = self._fused_intra()(
                 self._next_key(), jnp.asarray(image),
                 self.mapdb.X, self.mapdb.desc, self.mapdb.valid,
                 bank_st, bank_pen,
                 self.filter_bank.x, self.filter_bank.P,
-                self.filter_bank.steps, drone=drone,
+                self.filter_bank.steps,
+                self.lm_support, self.lm_last_seen, jnp.int32(self.frame),
+                drone=drone,
             )
         self.filter_bank = bank
+        self.lm_support, self.lm_last_seen = lm_sup, lm_last
         if self.pose_log:
             self.pose_log.log(
                 self.frame, drone, drone, np.asarray(pwc.pose.C),
@@ -791,6 +862,7 @@ class ColocSession:
                 X=jnp.asarray(X_np), desc=jnp.asarray(desc_np),
                 valid=jnp.asarray(valid_np),
             )
+            self._stamp_new_slots(free[:added])
             if self.viz is not None:
                 self.viz.publish_map(X_np, valid_np)
         return added
@@ -852,9 +924,77 @@ class ColocSession:
             X=jnp.asarray(X_np), desc=jnp.asarray(desc_np),
             valid=jnp.asarray(valid_np),
         )
+        self._stamp_new_slots(slots)
         if self.viz is not None:
             self.viz.publish_map(X_np, valid_np)
         return int(take.size)
+
+    def _stamp_new_slots(self, slots) -> None:
+        """Reset the support bookkeeping for freshly written MapDB slots:
+        zero career support, creation timestamp = current frame (grace
+        window against cull_map)."""
+        if len(slots) == 0:
+            return
+        self._ensure_support()
+        slots = jnp.asarray(np.asarray(slots, np.int32))
+        self.lm_support = self.lm_support.at[slots].set(0)
+        self.lm_last_seen = self.lm_last_seen.at[slots].set(
+            jnp.int32(self.frame)
+        )
+
+    def cull_map(self, max_age: int = 64, min_support: int = 8,
+                 keep_min: int = 32) -> int:
+        """Retire landmarks that stopped earning localization inliers,
+        freeing their MapDB slots for extend_map / merge_map_from.
+
+        Beyond-reference capability, completing the map lifecycle (grow:
+        extend_map; fuse: merge_map_from; retire: here). The reference's only
+        retirement is updateMap's wholesale rebuild (coloc.hpp:394-459),
+        which discards well-proven landmarks along with the dead ones.
+
+        Every localization step already accumulates, on device and inside
+        the same dispatch, each landmark's career inlier count
+        (`lm_support`) and last-inlier frame (`lm_last_seen`, initialized to
+        the creation frame). A landmark is culled when BOTH hold:
+
+          - stale:   `frame - lm_last_seen > max_age` (new landmarks get a
+                     `max_age`-frame grace window via the creation stamp)
+          - unproven: `lm_support < min_support` — landmarks with a long
+                     inlier career survive temporary occlusion droughts
+
+        If culling would leave fewer than `keep_min` valid landmarks, the
+        strongest candidates (highest support, then most recent) are
+        retained. Returns the number of slots freed. Host-side map
+        maintenance, like extend_map — not on the per-frame hot path.
+        """
+        if not self.map_ready or self.mapdb is None:
+            return 0
+        self._ensure_support()
+        valid = np.array(self.mapdb.valid)
+        sup = np.asarray(self.lm_support)
+        last = np.asarray(self.lm_last_seen)
+        cull = valid & (self.frame - last > max_age) & (sup < min_support)
+        n_valid = int(valid.sum())
+        n_cull = int(cull.sum())
+        if n_cull == 0:
+            return 0
+        if n_valid - n_cull < keep_min:
+            # spare the strongest candidates to hold the keep_min floor
+            spare = min(keep_min - (n_valid - n_cull), n_cull)
+            cand = np.flatnonzero(cull)
+            order = np.lexsort((-last[cand], -sup[cand]))  # strongest first
+            cull[cand[order[:spare]]] = False
+            n_cull -= spare
+            if n_cull == 0:
+                return 0
+        valid &= ~cull
+        self.mapdb = self.mapdb._replace(valid=jnp.asarray(valid))
+        freed = jnp.asarray(np.flatnonzero(cull).astype(np.int32))
+        self.lm_support = self.lm_support.at[freed].set(0)
+        self.lm_last_seen = self.lm_last_seen.at[freed].set(-1)
+        if self.viz is not None:
+            self.viz.publish_map(np.asarray(self.mapdb.X), valid)
+        return n_cull
 
     # ------------------------------------------------------------- main loop
     def run(
@@ -865,6 +1005,9 @@ class ColocSession:
         auto_update_map: bool = False,
         auto_update_patience: int = 3,
         extend_map_every: int = 0,
+        cull_map_every: int = 0,
+        cull_max_age: int = 64,
+        cull_min_support: int = 8,
     ) -> Dict[int, list]:
         """mainThread parity (coloc.hpp:96-148). Returns per-drone pose lists.
 
@@ -878,7 +1021,12 @@ class ColocSession:
         `extend_map_every` (opt-in; beyond-reference): every N frames grow
         the map with newly triangulated landmarks (extend_map) instead of
         replacing it wholesale — free MapDB capacity fills as drones see new
-        parts of the scene."""
+        parts of the scene.
+
+        `cull_map_every` (opt-in; beyond-reference): every N frames retire
+        landmarks with no recent inlier support (cull_map with
+        `cull_max_age`/`cull_min_support`), so a capacity-full map keeps
+        turning over slots for extend_map instead of freezing."""
         cfg = self.config
         num_frames = min(len(v) for v in frames.values())
         out = {d: [] for d in range(cfg.num_drones)}
@@ -927,6 +1075,9 @@ class ColocSession:
                     self.extend_map(
                         {d: frames[d][frame_idx] for d in range(cfg.num_drones)}
                     )
+                if cull_map_every and frame_idx % cull_map_every == 0:
+                    self.cull_map(max_age=cull_max_age,
+                                  min_support=cull_min_support)
                 # periodic flush bounds queued device pytrees without breaking
                 # steady-state pipelining (64 frames of pose/cov tuples ~ KBs)
                 if len(self._pending_logs) >= 64:

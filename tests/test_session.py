@@ -260,6 +260,138 @@ class TestSession:
         assert session.mapdb is full
 
 
+class TestMapLifecycle:
+    """Landmark-support tracking + cull_map (beyond-reference: the map
+    lifecycle's retirement leg, alongside extend_map growth and
+    merge_map_from fusion)."""
+
+    def test_support_accumulates_on_device(self, dataset):
+        """Every localization path (per-frame all-drones, single-drone,
+        chunked scan) accumulates per-landmark inlier support inside its one
+        device dispatch."""
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        session.frame = 1
+        session.intra_pose_all({0: frames[0][1], 1: frames[1][1]})
+        sup1 = np.asarray(session.lm_support)
+        assert sup1.sum() > 0
+        valid = np.asarray(session.mapdb.valid)
+        assert (sup1[~valid] == 0).all()   # only live landmarks earn support
+        last = np.asarray(session.lm_last_seen)
+        assert (last[sup1 > 0] == 1).all()  # stamped with the hit frame
+
+        session.frame = 2
+        session.intra_pose(0, frames[0][2])
+        sup2 = np.asarray(session.lm_support)
+        assert sup2.sum() > sup1.sum()
+
+        block = jnp.stack([
+            jnp.stack([jnp.asarray(frames[d][f]) for d in (0, 1)])
+            for f in (3, 4)
+        ])
+        session.frame = 3
+        session.intra_pose_chunk(block)
+        sup3 = np.asarray(session.lm_support)
+        assert sup3.sum() > sup2.sum()
+        assert np.asarray(session.lm_last_seen).max() == 4
+
+    def test_cull_map_retires_unsupported(self, dataset):
+        """Junk landmarks (random descriptors, never inliers) are culled
+        after max_age frames; supported landmarks survive; freed slots are
+        reusable; localization still works on the culled map."""
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        # inject junk into free slots: far-away points with random descriptors
+        rng = np.random.default_rng(0)
+        valid = np.array(session.mapdb.valid)
+        junk = np.flatnonzero(~valid)[:64]
+        X = np.array(session.mapdb.X)
+        desc = np.array(session.mapdb.desc)
+        X[junk] = rng.uniform(50, 60, (junk.size, 3)).astype(np.float32)
+        desc[junk] = rng.integers(0, 2**32, (junk.size, desc.shape[1]),
+                                  dtype=np.uint64).astype(np.uint32)
+        valid[junk] = True
+        from coloc_tpu.types import MapDB
+        session.mapdb = MapDB(X=jnp.asarray(X), desc=jnp.asarray(desc),
+                              valid=jnp.asarray(valid))
+        session._stamp_new_slots(junk)
+
+        for f in (1, 2, 3):
+            session.frame = f
+            session.intra_pose_all({0: frames[0][f], 1: frames[1][f]})
+        sup = np.asarray(session.lm_support)
+        supported = np.flatnonzero(sup > 0)
+        assert supported.size > 8
+
+        # inside the grace window nothing is culled
+        assert session.cull_map(max_age=16, min_support=2) == 0
+
+        session.frame = 40  # age everything past max_age=16
+        n = session.cull_map(max_age=16, min_support=2, keep_min=8)
+        assert n > 0
+        valid_after = np.asarray(session.mapdb.valid)
+        assert not valid_after[junk].any()          # junk gone
+        # well-supported landmarks survive the drought (min_support rule)
+        strong = np.flatnonzero(sup >= 2)
+        assert valid_after[strong].all()
+        # the culled map still localizes
+        res = session.intra_pose_all({0: frames[0][4], 1: frames[1][4]})
+        assert bool(res[0].success) and bool(res[1].success)
+        # freed slots are stamped free for extend_map
+        assert (np.asarray(session.lm_last_seen)[junk] == -1).all()
+        assert (~valid_after).sum() >= junk.size
+
+    def test_cull_keep_min_floor(self, dataset):
+        """Culling never drops the map below keep_min valid landmarks — the
+        strongest candidates are spared."""
+        frames, gt = dataset
+        session = make_session()
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        session.frame = 1
+        session.intra_pose_all({0: frames[0][1], 1: frames[1][1]})
+        valid_before = np.asarray(session.mapdb.valid).copy()
+        sup_before = np.asarray(session.lm_support).copy()
+        n_valid = int(valid_before.sum())
+        session.frame = 500  # everything stale
+        culled = session.cull_map(max_age=16, min_support=10**6,
+                                  keep_min=16)
+        assert culled == n_valid - 16
+        kept = np.asarray(session.mapdb.valid)
+        assert kept.sum() == 16
+        # the spared set dominates the culled set on support (ties broken by
+        # recency inside cull_map, so >= holds at the boundary)
+        dropped = valid_before & ~kept
+        assert sup_before[kept].min() >= sup_before[dropped].max()
+
+    def test_run_with_cull_every(self, dataset):
+        """run(cull_map_every=...) executes the retirement leg in the main
+        loop without breaking localization."""
+        frames, gt = dataset
+        session = make_session()
+        results = session.run(frames, inter_every=0, cull_map_every=2,
+                              cull_max_age=3, cull_min_support=1)
+        ok = [bool(p.success) for p in results[0]]
+        assert sum(ok) >= len(ok) - 1
+
+    def test_checkpoint_roundtrip_support(self, dataset, tmp_path):
+        from coloc_tpu import checkpoint
+        frames, gt = dataset
+        s1 = make_session()
+        assert s1.init_map({0: frames[0][0], 1: frames[1][0]})
+        s1.frame = 1
+        s1.intra_pose_all({0: frames[0][1], 1: frames[1][1]})
+        path = str(tmp_path / "sess.npz")
+        checkpoint.save_session(path, s1)
+        s2 = make_session()
+        checkpoint.load_session(path, s2)
+        np.testing.assert_array_equal(np.asarray(s2.lm_support),
+                                      np.asarray(s1.lm_support))
+        np.testing.assert_array_equal(np.asarray(s2.lm_last_seen),
+                                      np.asarray(s1.lm_last_seen))
+
+
 class TestDeterminism:
     def test_session_bitwise_deterministic(self, dataset):
         """SURVEY §4: determinism under jit — two sessions with identical
