@@ -61,7 +61,11 @@ def save_session(path: str, session) -> None:
             scene_desc=np.asarray(s.desc),
         )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, **data)
+    # write through a file handle so the checkpoint lands EXACTLY at `path`
+    # (np.savez appends ".npz" to bare string paths, which breaks a
+    # save("x.ckpt") / load("x.ckpt") round trip)
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, **data)
 
 
 def load_session(path: str, session) -> None:
@@ -102,10 +106,11 @@ def load_session(path: str, session) -> None:
 
 def save_mapdb(path: str, mapdb: MapDB) -> None:
     """Standalone map database export (exchangeable between sessions)."""
-    np.savez_compressed(
-        path, version=_VERSION, X=np.asarray(mapdb.X),
-        desc=np.asarray(mapdb.desc), valid=np.asarray(mapdb.valid),
-    )
+    with open(path, "wb") as fh:  # exact path (see save_session)
+        np.savez_compressed(
+            fh, version=_VERSION, X=np.asarray(mapdb.X),
+            desc=np.asarray(mapdb.desc), valid=np.asarray(mapdb.valid),
+        )
 
 
 def load_mapdb(path: str) -> MapDB:

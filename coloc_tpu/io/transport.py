@@ -267,12 +267,81 @@ def decode_map_points(payload: bytes) -> np.ndarray:
                          offset=4).reshape(n, 3).copy()
 
 
+_BUNDLE_HDR = struct.Struct("<iidi")  # drone, frame, timestamp, n_keypoints
+# fixed f64 block after the header: K (9) + dist (3) + R (9) + C (3) + cov3 (9)
+_BUNDLE_F64 = 9 + 3 + 9 + 3 + 9
+
+
+def encode_feature_bundle(drone: int, frame: int, timestamp: float,
+                          xy, score, scale, angle, desc, valid,
+                          K, dist, R, C, cov3) -> bytes:
+    """The inter-drone exchange payload: one frame's feature bank
+    (keypoints + packed binary descriptors) plus the sender's camera
+    intrinsics and current filtered pose + position covariance.
+
+    This is exactly what the reference's robots conceptually ship for
+    interPoseEstimator (SURVEY §2.2: descriptor banks, relative pose,
+    covariance — "all small"): ~84 B/keypoint, so a 1024-keypoint bundle is
+    ~86 KB on the wire. The receiver feeds it straight into
+    parallel.mesh.inter_pose_device as the `src` side."""
+    xy = np.ascontiguousarray(np.asarray(xy, np.float32).reshape(-1, 2))
+    n = len(xy)
+    score = np.ascontiguousarray(np.asarray(score, np.float32).reshape(n))
+    scale = np.ascontiguousarray(np.asarray(scale, np.int32).reshape(n))
+    angle = np.ascontiguousarray(np.asarray(angle, np.float32).reshape(n))
+    desc = np.ascontiguousarray(np.asarray(desc, np.uint32).reshape(n, -1))
+    valid = np.ascontiguousarray(np.asarray(valid, bool).reshape(n))
+    f64 = np.concatenate([
+        np.asarray(K, np.float64).reshape(9),
+        np.asarray(dist, np.float64).reshape(3),
+        np.asarray(R, np.float64).reshape(9),
+        np.asarray(C, np.float64).reshape(3),
+        np.asarray(cov3, np.float64).reshape(9),
+    ])
+    return (_BUNDLE_HDR.pack(drone, frame, timestamp, n)
+            + struct.pack("<i", desc.shape[1])
+            + f64.tobytes() + xy.tobytes() + score.tobytes()
+            + scale.tobytes() + angle.tobytes() + desc.tobytes()
+            + valid.astype(np.uint8).tobytes())
+
+
+def decode_feature_bundle(payload: bytes) -> dict:
+    drone, frame, ts, n = _BUNDLE_HDR.unpack_from(payload, 0)
+    off = _BUNDLE_HDR.size
+    words = struct.unpack_from("<i", payload, off)[0]
+    off += 4
+    f64 = np.frombuffer(payload, np.float64, count=_BUNDLE_F64, offset=off)
+    off += _BUNDLE_F64 * 8
+    take = lambda dtype, count, shape: (
+        np.frombuffer(payload, dtype, count=count, offset=off)
+        .reshape(shape).copy()
+    )
+    xy = take(np.float32, 2 * n, (n, 2)); off += 8 * n
+    score = take(np.float32, n, (n,)); off += 4 * n
+    scale = take(np.int32, n, (n,)); off += 4 * n
+    angle = take(np.float32, n, (n,)); off += 4 * n
+    desc = take(np.uint32, words * n, (n, words)); off += 4 * words * n
+    valid = take(np.uint8, n, (n,)).astype(bool)
+    return {
+        "drone": drone, "frame": frame, "timestamp": ts,
+        "xy": xy, "score": score, "scale": scale, "angle": angle,
+        "desc": desc, "valid": valid,
+        "K": f64[0:9].reshape(3, 3), "dist": f64[9:12].copy(),
+        "R": f64[12:21].reshape(3, 3), "C": f64[21:24].copy(),
+        "cov3": f64[24:33].reshape(3, 3),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Session integration
 # ---------------------------------------------------------------------------
 
 def pose_topic(drone: int) -> str:
     return f"coloc/drone{drone}/pose"
+
+
+def features_topic(drone: int) -> str:
+    return f"coloc/drone{drone}/features"
 
 
 def image_topic(drone: int) -> str:
