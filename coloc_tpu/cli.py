@@ -74,6 +74,13 @@ def main(argv=None):
                     help="EuRoC ASL sequence roots, one per drone "
                          "(mav0/cam0/{data,sensor.yaml}); overrides "
                          "--folder/--calib")
+    ap.add_argument("--kitti", nargs="+", metavar="SEQ",
+                    help="KITTI odometry sequence dirs, one per drone "
+                         "(image_0/ + calib.txt; ground truth from "
+                         "poses/<NN>.txt when present); overrides "
+                         "--folder/--calib")
+    ap.add_argument("--kitti-cam", default="image_0",
+                    help="KITTI camera directory to read (image_0/image_1)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--viz", nargs="?", const=8765, type=int, default=None,
                     metavar="PORT",
@@ -97,6 +104,8 @@ def main(argv=None):
 
     euroc_frames = None
     euroc_stamps = None
+    if args.euroc and args.kitti:
+        ap.error("--euroc and --kitti are mutually exclusive")
     if args.euroc:
         from coloc_tpu.io import euroc as euroc_io
 
@@ -104,6 +113,15 @@ def main(argv=None):
         euroc_frames, Ks, dists, size, euroc_stamps = euroc_io.load_dataset(
             args.euroc, num_frames=args.frames, with_timestamps=True)
         print(f"loaded {args.drones} EuRoC sequences, "
+              f"{len(euroc_frames[0])} frames each")
+    elif args.kitti:
+        from coloc_tpu.io import kitti as kitti_io
+
+        args.drones = len(args.kitti)
+        euroc_frames, Ks, dists, size, euroc_stamps = kitti_io.load_dataset(
+            args.kitti, num_frames=args.frames, cam=args.kitti_cam,
+            with_indices=True)
+        print(f"loaded {args.drones} KITTI sequences, "
               f"{len(euroc_frames[0])} frames each")
     elif args.synthetic:
         h, w = 240, 320
@@ -198,18 +216,25 @@ def main(argv=None):
         f"{n_ok}/{n_done} localized; logs in {args.out}/"
     )
 
-    # trajectory accuracy vs EuRoC ground truth where available (the
-    # BASELINE "within 1%" check becomes runnable the moment a real ASL
-    # sequence with state_groundtruth_estimate0 is passed via --euroc)
-    if args.euroc and euroc_stamps is not None:
+    # trajectory accuracy vs dataset ground truth where available (the
+    # BASELINE "within 1%" check becomes runnable the moment a real EuRoC
+    # ASL or KITTI odometry sequence with ground truth is passed)
+    if (args.euroc or args.kitti) and euroc_stamps is not None:
         from coloc_tpu import metrics
-        from coloc_tpu.io import euroc as euroc_io
 
-        for d, root in enumerate(args.euroc):
-            gt = euroc_io.load_groundtruth(root)
+        if args.euroc:
+            from coloc_tpu.io import euroc as gt_io
+
+            roots, gt_what = args.euroc, "state_groundtruth_estimate0"
+        else:
+            from coloc_tpu.io import kitti as gt_io
+
+            roots, gt_what = args.kitti, "poses/<NN>.txt"
+        for d, root in enumerate(roots):
+            gt = gt_io.load_groundtruth(root)
             if gt is None:
                 print(f"drone {d}: no ground truth in {root} "
-                      "(state_groundtruth_estimate0 absent) — ATE skipped")
+                      f"({gt_what} absent) — ATE skipped")
                 continue
             traj = results.get(d, [])
             ok_idx = [i for i, p in enumerate(traj) if bool(p.success)]
@@ -221,7 +246,7 @@ def main(argv=None):
             # by bootstrap); session.frame tracked the last processed index
             offset = len(euroc_stamps[d]) - len(traj)
             st = [euroc_stamps[d][i + offset] for i in ok_idx]
-            gt_pos = euroc_io.groundtruth_at(gt[0], gt[1], st)
+            gt_pos = gt_io.groundtruth_at(gt[0], gt[1], st)
             ate, _ = metrics.ate_rmse(est, gt_pos, with_scale=True)
             # frame_ids restricts RPE(1) to genuinely consecutive frames —
             # across localization dropouts a raw row-to-row difference
