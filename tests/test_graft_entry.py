@@ -55,3 +55,17 @@ def test_dryrun_multichip_reexec_from_one_device():
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-4000:]
     assert "REEXEC_OK" in proc.stdout
+
+
+def test_sanitized_cpu_env_strips_tpu_plugin_triggers():
+    """The re-exec child env must contain NO axon/TPU plugin trigger: not
+    the PALLAS_AXON_* / TPU_* vars the sitecustomize keys on, and not the
+    .axon_site PYTHONPATH entry that loads it (MULTICHIP_r03 root cause)."""
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "127.0.0.1")  # simulate
+    env = graft._sanitized_cpu_env(8)
+    for k in env:
+        assert not k.startswith(("PALLAS_AXON", "AXON_", "TPU_", "LIBTPU")), k
+    assert ".axon_site" not in env.get("PYTHONPATH", "")
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert env["JAX_COMPILATION_CACHE_DIR"]
