@@ -23,6 +23,14 @@ suppression runs entirely in RASTER space (upsample + max-dilate + compare,
 see inline comment) and keypoint selection is ONE top-k over the stacked
 level rasters — no per-level top-ks, no scatter/gather candidate lists.
 
+Batching: the whole frontend is batch-first (detect_and_describe_akaze_batch)
+the same way the TRIP path is — diffusion batches through the octave kernel's
+grid (ops/diffusion.build_scale_space_batch), the per-image stacked rasters
+concatenate VERTICALLY into one (B * R, WP) buffer, and every per-keypoint
+stage runs once over the flattened (B * k) keypoint bank. A D-drone session
+step or B-stream serving dispatch with backend="akaze" therefore compiles ONE
+FED pipeline instance, not D/B unrolled copies (round-3 VERDICT item 2).
+
 Remaining deviation (documented, measured-equivalent): MLDB cell means use a
 dense fixed 4x4 point-sample grid per cell rather than the reference's
 per-sigma variable integer-pixel integration — at the NORMAL preset's sigma
@@ -35,7 +43,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -49,32 +56,49 @@ _DETECT_BORDER = 10
 
 
 @functools.lru_cache(maxsize=16)
-def _akaze_mask(row_base, heights, widths, wp, rows, border):
+def _akaze_mask(row_base, heights, widths, wp, rows, border, batch=1):
     """Static keep mask for the stacked NMS raster: zero outside each level's
-    per-level detection border and on inter-level padding rows."""
+    per-level detection border and on inter-level padding rows. In the
+    batched raster the mask tiles per image; the >= border-row margins also
+    guard against cross-image NMS/suppression leakage, exactly as between
+    levels inside one image."""
     import numpy as np
 
     m = np.zeros((rows, wp), np.float32)
     for rb, h, w in zip(row_base, heights, widths):
         m[rb + border : rb + h - border, border : w - border] = 1.0
-    return m
+    return np.tile(m, (batch, 1)) if batch > 1 else m
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
 def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Features:
     """image (H, W) grayscale -> Features (fixed capacity, packed MLDB)."""
+    return jax.tree_util.tree_map(
+        lambda a: a[0], detect_and_describe_akaze_batch(image[None], opts)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def detect_and_describe_akaze_batch(
+    images: jnp.ndarray, opts: DetectorOptions
+) -> Features:
+    """(B, H, W) grayscale -> Features with leading batch axis, ONE kernel
+    per stage (see module docstring)."""
+    B = images.shape[0]
     k = opts.max_keypoints
     num_octaves = min(opts.num_levels // 2, 4) if opts.num_levels >= 4 else 2
     num_sub = 4
 
-    levels = diffusion.build_scale_space(
-        image, num_octaves=num_octaves, num_sublevels=num_sub
+    levels = diffusion.build_scale_space_batch(
+        images, num_octaves=num_octaves, num_sublevels=num_sub
     )
 
     # --- detection: per-level threshold + NMS ------------------------------
     thresh = 1e-4  # AKAZE default response threshold (normalized image)
     nms = [
-        fast_ops.nms3(jnp.where(ev.response > thresh, ev.response, 0.0))
+        jax.vmap(fast_ops.nms3)(
+            jnp.where(ev.response > thresh, ev.response, 0.0)
+        )
         for ev in levels
     ]
 
@@ -94,59 +118,70 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
         if rad <= 0:
             return x
         w = 2 * rad + 1
-        x = jax.lax.reduce_window(x, 0.0, jax.lax.max, (w, 1), (1, 1), "SAME")
-        return jax.lax.reduce_window(x, 0.0, jax.lax.max, (1, w), (1, 1),
-                                     "SAME")
+        x = jax.lax.reduce_window(
+            x, 0.0, jax.lax.max, (1, w, 1), (1, 1, 1), "SAME"
+        )
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.max, (1, 1, w), (1, 1, 1), "SAME"
+        )
 
     def _up2(x, h, w):
-        return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)[:h, :w]
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)[:, :h, :w]
 
     for li in range(len(levels) - 1):
         a, b = nms[li], nms[li + 1]
         oa, ob = levels[li].octave, levels[li + 1].octave
         r_base = max(levels[li].sigma, levels[li + 1].sigma)  # base px
         ra_px = math.ceil(r_base / (2.0 ** oa)) + (1 if ob > oa else 0)
-        ha, wa = a.shape
+        ha, wa = a.shape[1:]
         b_at_a = _up2(b, ha, wa) if ob > oa else b
         # suppress the weaker of a close pair; ties suppress the coarser level
         sup_a = _maxpool(b_at_a, ra_px) > a
         dil_a = _maxpool(a, ra_px)
         if ob > oa:  # 2x2 max-downsample back to b's grid
-            hb, wb = b.shape
+            hb, wb = b.shape[1:]
             dil_a = jax.lax.reduce_window(
-                jnp.pad(dil_a, ((0, 2 * hb - ha), (0, 2 * wb - wa))),
-                0.0, jax.lax.max, (2, 2), (2, 2), "VALID")
+                jnp.pad(dil_a, ((0, 0), (0, 2 * hb - ha), (0, 2 * wb - wa))),
+                0.0, jax.lax.max, (1, 2, 2), (1, 2, 2), "VALID")
         sup_b = dil_a >= b
         nms[li] = jnp.where(sup_a, 0.0, a)
         nms[li + 1] = jnp.where(sup_b, 0.0, b)
 
     # --- single stacked top-k over all levels (TRIP-frontend structure) ----
-    sp_nms = patch_ops.stack_levels(nms)
-    sp_resp = patch_ops.stack_levels([ev.response for ev in levels])
+    sp_nms = patch_ops.stack_levels_batch(nms)
+    sp_resp = patch_ops.stack_levels_batch([ev.response for ev in levels])
     wp = sp_nms.wp
+    R = sp_nms.img_rows
     rb = jnp.asarray(sp_nms.row_base)
     mask = _akaze_mask(tuple(int(r) for r in sp_nms.row_base),
                        tuple(int(h) for h in sp_nms.heights),
                        tuple(int(w) for w in sp_nms.widths),
-                       wp, sp_nms.stacked.shape[0], _DETECT_BORDER)
-    flat = (sp_nms.stacked * jnp.asarray(mask)).reshape(-1)
-    if flat.shape[0] <= 2 * k:
+                       wp, R, _DETECT_BORDER, batch=B)
+    masked = sp_nms.stacked * jnp.asarray(mask)
+    flat = masked.reshape(-1) if B == 1 else masked.reshape(B, R * wp)
+    if R * wp <= 2 * k:
         top_s, top_i = jax.lax.top_k(flat, k)
     else:
         # approx_max_k (recall ~0.95): a few percent of the WEAKEST selected
         # peaks may swap for near-threshold neighbors — same documented
         # trade as the TRIP frontend (frontend.py top-k comment)
         top_s, top_i = jax.lax.approx_max_k(flat, k)
+    # flatten the (B, k) keypoint grid; all per-keypoint stages below are
+    # batch-agnostic given raster-global rows
+    boff = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * R, k)   # (B*k,)
+    top_s = top_s.reshape(B * k)
+    top_i = top_i.reshape(B * k)
     valid = top_s > 0
-    row = top_i // wp
+    row = top_i // wp            # within-image stacked row
     col = top_i % wp
     kp_l = jnp.sum(row[:, None] >= rb[None, 1:], axis=1).astype(jnp.int32)
 
-    # subpixel refinement on the stacked raw response raster
-    kp_x, sy = fast_ops.subpixel_refine(
-        sp_resp.stacked, col.astype(jnp.float32), row.astype(jnp.float32)
-    )
-    kp_y = sy - rb[kp_l].astype(jnp.float32)    # level-local y
+    # subpixel refinement on the raster-global raw response raster; offsets
+    # add to LOCAL coordinates so results are bit-identical at every batch
+    # position (see ops/fast.subpixel_offsets)
+    dx, dy = fast_ops.subpixel_offsets(sp_resp.stacked, col, row + boff)
+    kp_x = col.astype(jnp.float32) + dx
+    kp_y = (row - rb[kp_l]).astype(jnp.float32) + dy     # level-local y
     sig_table = jnp.asarray(
         [ev.sigma / (2.0 ** ev.octave) for ev in levels], jnp.float32
     )
@@ -166,10 +201,10 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     # rounding; see ops/mldb.py), so every clamped sample stays inside the
     # selected window: max local col = 46.1 + (a mod 128) <= 121.1 (normal,
     # a mod 128 <= 75) or (a mod 128) - 17.9 <= 109.1 (shifted).
-    sp_l = patch_ops.stack_levels([ev.L for ev in levels])
-    sp_lx = patch_ops.stack_levels([ev.Lx for ev in levels])
-    sp_ly = patch_ops.stack_levels([ev.Ly for ev in levels])
-    R_img = sp_l.stacked.shape[0]
+    sp_l = patch_ops.stack_levels_batch([ev.L for ev in levels])
+    sp_lx = patch_ops.stack_levels_batch([ev.Lx for ev in levels])
+    sp_ly = patch_ops.stack_levels_batch([ev.Ly for ev in levels])
+    R_tot = sp_l.stacked.shape[0]            # = B * R rows per channel
 
     def shift64(x):  # drop the first 64 lanes, zero-pad the tail
         return jnp.pad(x[:, 64:], ((0, 0), (0, 64)))
@@ -196,11 +231,11 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     shift = m > 75
     c0 = jnp.where(shift, ((a - 64) // 128) * 128, (a // 128) * 128)
     col0_eff = c0 + jnp.where(shift, 64, 0)     # window col 0 in level coords
-    row0_dma = row0 + jnp.where(shift, 3 * R_img, 0)
+    row0_dma = row0 + boff + jnp.where(shift, 3 * R_tot, 0)
 
     def sampler3(lx, ly):
         return patch_ops.sample_raster_flat(
-            src6, R_img, row0_dma, c0, lx, ly, C=3, pw=128
+            src6, R_tot, row0_dma, c0, lx, ly, C=3, pw=128
         )
 
     # orientation-only sampler: the disc reaches 6*sigma <= 16.7 px from
@@ -208,15 +243,15 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     # the 64-row patch covers [y-17, y+17] in every patch_origins clamp case
     # (normal offset in [27,34] -> ro in [8,16]; top clamp -> ro=0; bottom
     # clamp -> ro=16 with samples clamped to the level edge at local 63).
-    # Channels are Lx/Ly only (base offset +R_img skips L): DMA volume is
+    # Channels are Lx/Ly only (base offset +R_tot skips L): DMA volume is
     # 2/3 * 48/64 = half of a 3-channel 64-row pass.
     yi_rel = jnp.round(kp_y).astype(jnp.int32) - row0_local
     ro = jnp.clip(((yi_rel - 17) // 8) * 8, 0, 16)
-    row0_ori = row0_dma + R_img + ro
+    row0_ori = row0_dma + R_tot + ro
 
     def sampler2(lx, ly):
         return patch_ops.sample_raster_flat(
-            src6, R_img, row0_ori, c0, lx, ly, C=2, ph=48, pw=128
+            src6, R_tot, row0_ori, c0, lx, ly, C=2, ph=48, pw=128
         )
 
     kp_angle = mldb.orientation(
@@ -233,11 +268,14 @@ def detect_and_describe_akaze(image: jnp.ndarray, opts: DetectorOptions) -> Feat
     up = jnp.power(2.0, oct_k.astype(jnp.float32))
     xy = jnp.stack([kp_x * up, kp_y * up], axis=-1)
 
-    return Features(
+    feats = Features(
         xy=jnp.where(valid[:, None], xy, 0.0),
         score=jnp.where(valid, top_s, 0.0),
         scale=jnp.where(valid, kp_l, 0),
         angle=jnp.where(valid, kp_angle, 0.0),
         desc=desc,
         valid=valid,
+    )
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((B, k) + a.shape[1:]), feats
     )

@@ -167,12 +167,11 @@ def _detect_and_describe_trip_batch(
     # level id from the stacked row (static level boundaries)
     kp_l = jnp.sum(row_img[:, None] >= rb[None, 1:], axis=1).astype(jnp.int32)
 
-    # subpixel refinement on the raster-global raw score map
-    sx, sy = fast_ops.subpixel_refine(
-        raw, col.astype(jnp.float32), (row_img + boff).astype(jnp.float32)
-    )
-    kp_x = sx
-    kp_y = sy - (rb[kp_l] + boff).astype(jnp.float32)   # level-local y
+    # subpixel refinement on the raster-global raw score map; offsets add to
+    # LOCAL coordinates so results are bit-identical at every batch position
+    dx, dy = fast_ops.subpixel_offsets(raw, col, row_img + boff)
+    kp_x = col.astype(jnp.float32) + dx
+    kp_y = (row_img - rb[kp_l]).astype(jnp.float32) + dy   # level-local y
 
     # --- per-keypoint patches from the smoothed stack ------------------------
     w_l = widths[kp_l].astype(jnp.float32)
@@ -212,14 +211,13 @@ def _detect_and_describe_trip_batch(
 def detect_and_describe_batch(images: jnp.ndarray, opts: DetectorOptions) -> Features:
     """(B, H, W) -> Features with leading batch axis.
 
-    TRIP backend: one kernel per stage for the whole batch (the per-image
-    rasters stack vertically — see _detect_and_describe_trip_batch). AKAZE
-    backend: statically unrolled per image (its FED diffusion pipeline is
-    per-image XLA; unrolled copies still dispatch once)."""
+    Both backends run one kernel per stage for the whole batch: TRIP stacks
+    the per-image rasters vertically (_detect_and_describe_trip_batch);
+    AKAZE batches its FED diffusion through the octave kernel's grid and
+    stacks the evolution rasters the same way
+    (akaze.detect_and_describe_akaze_batch)."""
     if opts.backend == "akaze":
-        feats = [
-            detect_and_describe(images[i], opts)
-            for i in range(images.shape[0])
-        ]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *feats)
+        from coloc_tpu.akaze import detect_and_describe_akaze_batch
+
+        return detect_and_describe_akaze_batch(images, opts)
     return _detect_and_describe_trip_batch(images, opts)

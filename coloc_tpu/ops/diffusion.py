@@ -190,21 +190,23 @@ def _octave_plan(H: int, W: int, cycles) -> Tuple[int, int, int, int]:
         nb *= 2
 
 
-def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s):
+def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s, nb):
     WH = TH + 2 * halo8
 
     def kernel(Lp_hbm, k2_ref, l_ref, lx_ref, ly_ref, resp_ref,
                win, stage, sem, osems):
         i = pl.program_id(0)
+        b = i // nb           # batch image
+        j = i % nb            # row band within the image
         cp = pltpu.make_async_copy(
-            Lp_hbm.at[pl.ds(i * TH, WH), pl.ds(0, Wp)], win, sem
+            Lp_hbm.at[b, pl.ds(j * TH, WH), pl.ds(0, Wp)], win, sem
         )
         cp.start()
         cp.wait()
 
         gy = (
             jax.lax.broadcasted_iota(jnp.int32, (WH, Wp), 0)
-            + i * TH - halo8
+            + j * TH - halo8
         )
         gx = jax.lax.broadcasted_iota(jnp.int32, (WH, Wp), 1)
 
@@ -259,7 +261,7 @@ def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s):
             return a[halo8 : halo8 + TH, :]
 
         outs = (l_ref, lx_ref, ly_ref, resp_ref)
-        k2 = k2_ref[0]
+        k2 = k2_ref[b]
         L = win[:]
         dLx, dLy = scharr(L)
         copies = []
@@ -289,12 +291,12 @@ def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s):
                 c.wait()
             copies = []
             vals = (L, dLx, dLy, sigma4s[s] * (Lxx * Lyy - Lxy * Lxy))
-            for j, v in enumerate(vals):
-                stage[j] = interior(v)
+            for jj, v in enumerate(vals):
+                stage[jj] = interior(v)
                 c = pltpu.make_async_copy(
-                    stage.at[j],
-                    outs[j].at[s, pl.ds(i * TH, TH), pl.ds(0, Wp)],
-                    osems.at[j],
+                    stage.at[jj],
+                    outs[jj].at[b, s, pl.ds(j * TH, TH), pl.ds(0, Wp)],
+                    osems.at[jj],
                 )
                 c.start()
                 copies.append(c)
@@ -308,8 +310,8 @@ def _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s):
     jax.jit, static_argnames=("H", "W", "cycles", "sigma4s", "interpret")
 )
 def fed_octave_pallas(
-    L: jnp.ndarray,          # (H, W) current-octave base image
-    k2: jnp.ndarray,         # () squared contrast factor
+    L: jnp.ndarray,          # (B, H, W) current-octave base images
+    k2: jnp.ndarray,         # (B,) squared contrast factors
     H: int,
     W: int,
     cycles,                  # tuple of tuples of static tau step sizes
@@ -318,21 +320,24 @@ def fed_octave_pallas(
 ):
     """All FED cycles of one octave + per-sublevel derivatives, fused.
 
-    Returns (L, Lx, Ly, response), each (S, H, W) — the complete Evolution
-    payload of the octave in one launch.
+    Returns (L, Lx, Ly, response), each (B, S, H, W) — the complete
+    Evolution payload of the octave in one launch. The batch rides the
+    grid's leading factor (grid = B * row_bands), so a D-drone session step
+    compiles ONE diffusion kernel instance, not D unrolled copies.
     """
     S = len(cycles)
+    B = L.shape[0]
     TH, nb, halo8, Wp = _octave_plan(H, W, cycles)
     Hp = nb * TH
     Lp = jnp.pad(
         L,
-        ((halo8, halo8 + Hp - H), (0, Wp - W)),
+        ((0, 0), (halo8, halo8 + Hp - H), (0, Wp - W)),
         mode="edge",
     )
-    shape = jax.ShapeDtypeStruct((S, Hp, Wp), jnp.float32)
+    shape = jax.ShapeDtypeStruct((B, S, Hp, Wp), jnp.float32)
     outs = pl.pallas_call(
-        _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s),
-        grid=(nb,),
+        _make_fed_octave_kernel(H, W, TH, halo8, Wp, cycles, sigma4s, nb),
+        grid=(B * nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -349,8 +354,8 @@ def fed_octave_pallas(
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(Lp, jnp.asarray(k2, jnp.float32).reshape(1))
-    return tuple(o[:, :H, :W] for o in outs)
+    )(Lp, jnp.asarray(k2, jnp.float32).reshape(B))
+    return tuple(o[:, :, :H, :W] for o in outs)
 
 
 def build_scale_space(
@@ -362,13 +367,38 @@ def build_scale_space(
 ) -> List[Evolution]:
     """Nonlinear scale space (AKAZE Create_Nonlinear_Scale_Space parity).
 
+    Single-image form of build_scale_space_batch (B = 1, leading axis
+    squeezed).
+    """
+    levels = build_scale_space_batch(
+        image[None], num_octaves, num_sublevels, sigma0, percentile
+    )
+    return [
+        Evolution(L=ev.L[0], Lx=ev.Lx[0], Ly=ev.Ly[0],
+                  response=ev.response[0], sigma=ev.sigma, octave=ev.octave)
+        for ev in levels
+    ]
+
+
+def build_scale_space_batch(
+    images: jnp.ndarray,
+    num_octaves: int = 4,
+    num_sublevels: int = 4,
+    sigma0: float = 1.6,
+    percentile: float = 70.0,
+) -> List[Evolution]:
+    """Batched nonlinear scale space: (B, H, W) -> Evolution fields
+    (B, h_o, w_o).
+
     Octave o holds the image at 2^-o resolution; each sublevel advances the
     diffusion to t = sigma^2/2 with one FED cycle. All loop lengths are
-    static (sigma schedule known at trace time).
+    static (sigma schedule known at trace time). The batch is ONE kernel
+    launch per octave (fed_octave_pallas grid = B * row_bands) — not B
+    unrolled pipeline copies.
     """
-    img = image.astype(jnp.float32) / 255.0
+    img = images.astype(jnp.float32) / 255.0
     # initial smoothing to sigma0 (approximated by a short linear diffusion)
-    k = contrast_factor(img, percentile)
+    k = jax.vmap(lambda im: contrast_factor(im, percentile))(img)
     k2 = k * k
 
     levels: List[Evolution] = []
@@ -389,7 +419,7 @@ def build_scale_space(
             cycles.append(tuple(fed_tau_cycle(dt)))
             t_prev = t
 
-        h, w = L.shape
+        h, w = L.shape[1:]
         sigma4s = tuple(
             float((sigmas[s] / (2.0 ** o)) ** 4) for s in range(num_sublevels)
         )
@@ -403,28 +433,40 @@ def build_scale_space(
             )
             for s in range(num_sublevels):
                 levels.append(
-                    Evolution(L=Ls[s], Lx=Lxs[s], Ly=Lys[s],
-                              response=resps[s], sigma=sigmas[s], octave=o)
+                    Evolution(L=Ls[:, s], Lx=Lxs[:, s], Ly=Lys[:, s],
+                              response=resps[:, s], sigma=sigmas[s],
+                              octave=o)
                 )
-            L = Ls[num_sublevels - 1]
+            L = Ls[:, num_sublevels - 1]
         else:
-            # XLA reference path: per-step stencils. FED semantics (and
-            # OpenMVG AKAZE parity): the conductivity is computed ONCE per
-            # cycle and held FIXED across the cycle's explicit steps — the
-            # varying tau schedule is only stable as a cycle of steps of one
-            # linear operator.
-            for s, taus in enumerate(cycles):
-                gx, gy = _scharr(L)
-                g = 1.0 / (1.0 + (gx * gx + gy * gy) / k2)
-                for tau in taus:
-                    L = _diffusion_step(L, g, tau)
-                sigma_px = sigmas[s] / (2.0 ** o)  # scale in octave pixels
-                resp, Lx, Ly = _hessian_response(L, sigma_px)
-                levels.append(
-                    Evolution(L=L, Lx=Lx, Ly=Ly, response=resp,
-                              sigma=sigmas[s], octave=o)
+            # XLA reference path: per-step stencils, vmapped over the batch.
+            # FED semantics (and OpenMVG AKAZE parity): the conductivity is
+            # computed ONCE per cycle and held FIXED across the cycle's
+            # explicit steps — the varying tau schedule is only stable as a
+            # cycle of steps of one linear operator.
+            def octave_xla(L1, k21):
+                outs = []
+                for s, taus in enumerate(cycles):
+                    gx, gy = _scharr(L1)
+                    g = 1.0 / (1.0 + (gx * gx + gy * gy) / k21)
+                    for tau in taus:
+                        L1 = _diffusion_step(L1, g, tau)
+                    sigma_px = sigmas[s] / (2.0 ** o)  # octave pixels
+                    resp, Lx, Ly = _hessian_response(L1, sigma_px)
+                    outs.append((L1, Lx, Ly, resp))
+                return tuple(
+                    jnp.stack([ot[i] for ot in outs]) for i in range(4)
                 )
+
+            Ls, Lxs, Lys, resps = jax.vmap(octave_xla)(L, k2)
+            for s in range(num_sublevels):
+                levels.append(
+                    Evolution(L=Ls[:, s], Lx=Lxs[:, s], Ly=Lys[:, s],
+                              response=resps[:, s], sigma=sigmas[s],
+                              octave=o)
+                )
+            L = Ls[:, num_sublevels - 1]
         if o + 1 < num_octaves:
             # downsample by 2 for the next octave
-            L = L[::2, ::2]
+            L = L[:, ::2, ::2]
     return levels

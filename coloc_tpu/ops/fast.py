@@ -321,23 +321,27 @@ def fast_nms_pallas(image: jnp.ndarray, threshold, interpret: bool = False):
     return raw[:h, :w], score[:h, :w]
 
 
-def subpixel_refine(
+def subpixel_offsets(
     score: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Parabolic 3x3 subpixel peak refinement on the (pre-NMS) score map.
+    """Parabolic 3x3 subpixel offsets (dx, dy) on the (pre-NMS) score map.
 
     Integer FAST peaks carry ~0.5 px of grid-locked, *biased* localization
     error that does not average out across matches and visibly corrupts
     small-baseline translation direction (the AKAZE reference path refines
     subpixel for the same reason). Standard 1-D parabola per axis:
     dx = 0.5 (s[-1] - s[+1]) / (s[-1] - 2 s[0] + s[+1]), clamped to +-0.5.
+
+    Returned as OFFSETS so callers on batched / stacked rasters can add them
+    to image-local coordinates directly: `local + dy` is bit-identical for
+    every batch position, while `(global + dy) - batch_offset` rounds in
+    f32 at large row magnitudes (and occasionally flips a descriptor bit
+    downstream of the nearest-sample rounding).
     """
     h, w = score.shape
     flat = score.reshape(-1)
-    xi = x.astype(jnp.int32)
-    yi = y.astype(jnp.int32)
-    xi = jnp.clip(xi, 1, w - 2)
-    yi = jnp.clip(yi, 1, h - 2)
+    xi = jnp.clip(x.astype(jnp.int32), 1, w - 2)
+    yi = jnp.clip(y.astype(jnp.int32), 1, h - 2)
     c = yi * w + xi
 
     s0 = flat[c]
@@ -351,7 +355,15 @@ def subpixel_refine(
         off = 0.5 * (minus - plus) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
         return jnp.clip(off, -0.5, 0.5)
 
-    return x + offset(sl, s0, sr), y + offset(su, s0, sd)
+    return offset(sl, s0, sr), offset(su, s0, sd)
+
+
+def subpixel_refine(
+    score: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Refined absolute peak positions (see subpixel_offsets)."""
+    dx, dy = subpixel_offsets(score, x, y)
+    return x + dx, y + dy
 
 
 def detect(
