@@ -468,6 +468,13 @@ def sharded_map_match(mesh: Mesh, opts, axis: str = DRONE_AXIS,
       (q_desc (Q,16) [replicated, or drone-sharded with query_axis],
        q_valid (Q,), shard_desc (L,16) sharded on axis 0, shard_valid (L,))
       -> Matches with GLOBAL landmark indices and CUDAK2NN semantics.
+
+    Shapes need NOT divide the mesh axes: a bank with L % n_devices != 0
+    (or, with query_axis, Q % n_query_devices != 0) is zero-padded to the
+    next multiple inside the jitted wrapper, with padded entries marked
+    invalid — an invalid entry carries an _INVALID_DIST distance in the
+    kernel and best > 512 is rejected by matching._accept, so padding can
+    never win a match; padded query rows are sliced off the output.
     """
     from coloc_tpu.matching import _accept
     from coloc_tpu.ops import hamming
@@ -508,9 +515,24 @@ def sharded_map_match(mesh: Mesh, opts, axis: str = DRONE_AXIS,
         check_vma=False,
     )
 
+    n_map = mesh.shape[axis]
+    n_query = mesh.shape[query_axis] if query_axis else 1
+
     @jax.jit
     def run(q_desc, q_valid, map_desc, map_valid):
+        Q, L = q_desc.shape[0], map_desc.shape[0]
+        Lp = -(-L // n_map) * n_map
+        if Lp != L:
+            map_desc = jnp.pad(map_desc, ((0, Lp - L), (0, 0)))
+            map_valid = jnp.pad(map_valid, (0, Lp - L))   # padded -> invalid
+        Qp = -(-Q // n_query) * n_query
+        if Qp != Q:
+            q_desc = jnp.pad(q_desc, ((0, Qp - Q), (0, 0)))
+            q_valid = jnp.pad(q_valid, (0, Qp - Q))
         idx, best, second = sharded(q_desc, q_valid, map_desc, map_valid)
+        if Qp != Q:
+            idx, best, second = idx[:Q], best[:Q], second[:Q]
+            q_valid = q_valid[:Q]
         # single source of truth for accept semantics (matching._accept)
         return _accept(idx, best, second, q_valid, opts, opts.margin_threshold)
 

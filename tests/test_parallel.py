@@ -259,3 +259,79 @@ class TestMesh:
         )
         ok_ref = ((rsecond - rbest) > 60) & qv & (rbest <= 512)
         np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ok_ref))
+
+    def test_sharded_map_match_uneven_bank(self, rng):
+        """L=100 landmarks over 8 devices (100 % 8 != 0, VERDICT r3 item 6):
+        the wrapper pads the bank to the next multiple with INVALID entries,
+        so results — including the GLOBAL winner indices — must equal the
+        single-device matcher on the unpadded bank."""
+        from coloc_tpu.config import MatcherOptions
+        from coloc_tpu.ops import hamming
+
+        Q, L = 41, 100
+        qd = jnp.asarray(
+            rng.integers(0, 2**32, (Q, 16), dtype=np.uint64).astype(np.uint32)
+        )
+        td = jnp.asarray(
+            rng.integers(0, 2**32, (L, 16), dtype=np.uint64).astype(np.uint32)
+        )
+        # plant exact matches, including in the LAST (ragged) shard region
+        qd = qd.at[:8].set(td[92:100])
+        qd = qd.at[8:16].set(td[3:11])
+        qv = jnp.ones(Q, bool)
+        tv = jnp.asarray(rng.random(L) > 0.1)
+        # planted targets must be valid for the planted-found assertion
+        tv = tv.at[92:100].set(True).at[3:11].set(True)
+
+        opts = MatcherOptions(mode="margin", margin_threshold=60)
+        m = pmesh.make_mesh()
+        run = pmesh.sharded_map_match(m, opts)
+        # unsharded host inputs: the jitted wrapper pads, then reshards
+        out = run(qd, qv, td, tv)
+
+        ridx, rbest, rsecond = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        np.testing.assert_array_equal(np.asarray(out.best), np.asarray(rbest))
+        np.testing.assert_array_equal(
+            np.asarray(out.second), np.asarray(rsecond)
+        )
+        ok_ref = ((rsecond - rbest) > 60) & qv & (rbest <= 512)
+        np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ok_ref))
+        mask = np.asarray(out.mask)
+        assert mask[:16].all()  # planted matches all found
+        for q in np.nonzero(mask)[0]:
+            assert 0 <= int(out.idx[q]) < L
+            d = int(hamming.hamming_distance(qd[q], td[int(out.idx[q])]))
+            assert d == int(rbest[q])
+
+    def test_sharded_map_match_uneven_query_axis(self, rng):
+        """(2, 4) drone x map mesh with Q=10 queries (10 % 2 != 0) and
+        L=100 (100 % 4 != 0): both axes pad-and-mask, outputs slice back."""
+        from jax.sharding import Mesh
+
+        from coloc_tpu.config import MatcherOptions
+        from coloc_tpu.ops import hamming
+
+        Q, L = 10, 100
+        qd = jnp.asarray(
+            rng.integers(0, 2**32, (Q, 16), dtype=np.uint64).astype(np.uint32)
+        )
+        td = jnp.asarray(
+            rng.integers(0, 2**32, (L, 16), dtype=np.uint64).astype(np.uint32)
+        )
+        qd = qd.at[:4].set(td[96:100])
+        qv = jnp.ones(Q, bool)
+        tv = jnp.ones(L, bool)
+
+        devs = np.asarray(jax.devices()).reshape(2, 4)
+        m2d = Mesh(devs, axis_names=("drone", "map"))
+        opts = MatcherOptions(mode="margin", margin_threshold=60)
+        run = pmesh.sharded_map_match(m2d, opts, axis="map",
+                                      query_axis="drone")
+        out = run(qd, qv, td, tv)
+        assert out.idx.shape == (Q,)
+        ridx, rbest, rsecond = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        np.testing.assert_array_equal(np.asarray(out.best), np.asarray(rbest))
+        np.testing.assert_array_equal(
+            np.asarray(out.second), np.asarray(rsecond)
+        )
+        assert np.asarray(out.mask)[:4].all()
