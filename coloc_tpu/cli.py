@@ -17,6 +17,7 @@ fixed-shape banks small; pass --maxkp 5000 for reference-capacity parity
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import tempfile
 import time
@@ -82,6 +83,10 @@ def main(argv=None):
     ap.add_argument("--kitti-cam", default="image_0",
                     help="KITTI camera directory to read (image_0/image_1)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--debug-svg", action="store_true",
+                    help="emit per-stage SVG feature/match overlays into "
+                         "OUT/debug (the reference's #ifdef DEBUG "
+                         "artifacts, coloc.hpp:153-239)")
     ap.add_argument("--viz", nargs="?", const=8765, type=int, default=None,
                     metavar="PORT",
                     help="serve a live pose+map viewer (rosUtils/RViz analog)"
@@ -174,7 +179,10 @@ def main(argv=None):
             fast_threshold=args.fast_threshold,
         ),
     )
-    session = ColocSession(config, Ks, dists, out_dir=args.out, viz=viz)
+    session = ColocSession(
+        config, Ks, dists, out_dir=args.out, viz=viz,
+        debug_dir=os.path.join(args.out, "debug") if args.debug_svg else "",
+    )
 
     from coloc_tpu.io import native_loader
 

@@ -111,6 +111,7 @@ class ColocSession:
         seed: int = 0,
         profile: bool = False,
         viz=None,
+        debug_dir: str = "",
     ):
         self.config = config
         self.cams = [
@@ -144,6 +145,17 @@ class ColocSession:
             enabled=profile, printer=print if profile else None
         )
 
+        # stage-wired SVG debug artifacts (the reference's #ifdef DEBUG
+        # overlays, coloc.hpp:153-159, 171-176, 189-192, 203-209, 232-239,
+        # 298-300; drawing impls colocUtils.hpp:148-182). When set, every
+        # pipeline stage on the HOST event path emits a feature/match
+        # overlay into debug_dir — like the reference's DEBUG build, this
+        # costs extra work per frame (a second detection pass for the fused
+        # intra step) and is strictly an inspection mode.
+        self.debug_dir = debug_dir
+        if debug_dir:
+            os.makedirs(debug_dir, exist_ok=True)
+
         self.out_dir = out_dir
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
@@ -161,6 +173,52 @@ class ColocSession:
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    # ------------------------------------------------------- debug overlays
+    def _debug_features(self, name: str, image, feats: Features,
+                        color: str = "green") -> None:
+        """drawFeatures-parity overlay (coloc.hpp:153-159 / :203-209)."""
+        if not self.debug_dir:
+            return
+        from coloc_tpu.io import svg
+
+        svg.draw_features(
+            os.path.join(self.debug_dir, name), np.asarray(image),
+            np.asarray(feats.xy), np.asarray(feats.valid), color=color,
+        )
+
+    def _debug_intra(self, drone: int, image) -> None:
+        """Per-frame intra overlays: the frame's features and its accepted
+        map matches (coloc.hpp:203-209, 232-239). The fused device step
+        hides both, so debug mode runs a second detect+match pass purely
+        for the artifacts."""
+        if not self.debug_dir:
+            return
+        f_dbg = self.detect(image)
+        self._debug_features(
+            f"frame{self.frame:04d}_d{drone}_features.svg", image, f_dbg
+        )
+        mm_dbg = matching.match_with_map(
+            f_dbg, self.mapdb, self.config.matcher
+        )
+        self._debug_features(
+            f"frame{self.frame:04d}_d{drone}_map_matches.svg", image,
+            f_dbg._replace(valid=mm_dbg.mask), color="red",
+        )
+
+    def _debug_matches(self, name: str, img1, img2, xy1, xy2, idx, mask,
+                       color: str = "yellow") -> None:
+        """drawMatches-parity overlay (coloc.hpp:171-176 / :189-192 /
+        :232-239 / :298-300)."""
+        if not self.debug_dir:
+            return
+        from coloc_tpu.io import svg
+
+        svg.draw_matches(
+            os.path.join(self.debug_dir, name), np.asarray(img1),
+            np.asarray(img2), np.asarray(xy1), np.asarray(xy2),
+            np.asarray(idx), np.asarray(mask), color=color,
+        )
 
     def detect(self, image: np.ndarray) -> Features:
         return detect_and_describe(jnp.asarray(image), self.config.detector)
@@ -189,6 +247,9 @@ class ColocSession:
         (seed pair + P3P resection, reconstructScene parity)."""
         cfg = self.config
         feats = {d: self.detect(images[d]) for d in range(cfg.num_drones)}
+        for d in range(cfg.num_drones):
+            self._debug_features(f"init_features_d{d}.svg", images[d],
+                                 feats[d])
 
         if cfg.num_drones > 2:
             pair_matches, pair_geo = {}, {}
@@ -197,6 +258,16 @@ class ColocSession:
                 geo = self._relative_pose(
                     self._next_key(), feats[a].xy, feats[b].xy[m.idx],
                     m.mask, self.cams[a], self.cams[b],
+                )
+                self._debug_matches(
+                    f"init_putative_{a}_{b}.svg", images[a], images[b],
+                    feats[a].xy, feats[b].xy, m.idx, m.mask,
+                )
+                self._debug_matches(
+                    f"init_inlier_{a}_{b}.svg", images[a], images[b],
+                    feats[a].xy, feats[b].xy, m.idx,
+                    np.asarray(m.mask) & np.asarray(geo.inliers),
+                    color="lime",
                 )
                 if bool(geo.success):
                     pair_matches[(a, b)] = m
@@ -232,6 +303,15 @@ class ColocSession:
         geo = self._relative_pose(
             self._next_key(), f0.xy, f1.xy[m.idx], m.mask,
             self.cams[0], self.cams[1],
+        )
+        self._debug_matches(
+            "init_putative_0_1.svg", images[0], images[1],
+            f0.xy, f1.xy, m.idx, m.mask,
+        )
+        self._debug_matches(
+            "init_inlier_0_1.svg", images[0], images[1],
+            f0.xy, f1.xy, m.idx,
+            np.asarray(m.mask) & np.asarray(geo.inliers), color="lime",
         )
         if not bool(geo.success):
             return False
@@ -479,6 +559,9 @@ class ColocSession:
         close() before reading the log files."""
         cfg = self.config
         D = cfg.num_drones
+        if self.debug_dir:
+            for d in range(D):
+                self._debug_intra(d, images[d])
         bank_st, bank_pen, _ = self._map_bank()
         keys = jax.random.split(self._next_key(), D)
         imgs = jnp.stack([jnp.asarray(images[d]) for d in range(D)])
@@ -562,6 +645,7 @@ class ColocSession:
         """Per-frame map-based localization + KF (intraPoseEstimator,
         coloc.hpp:201-271). Single fused device dispatch."""
         cfg = self.config
+        self._debug_intra(drone, image)
         bank_st, bank_pen, _ = self._map_bank()
         self._ensure_support()
         with self.profiler.stage("intra_step"):
@@ -679,6 +763,15 @@ class ColocSession:
         feats = feats or {}
         f_src = feats[src] if src in feats else self.detect(images[src])
         f_dst = feats[dst] if dst in feats else self.detect(images[dst])
+        if self.debug_dir:
+            # inter-drone pairwise matches (coloc.hpp:298-300); the fused
+            # core hides the putative stage, so recompute it for the overlay
+            m_dbg = matching.match_pair(f_src, f_dst, cfg.matcher)
+            self._debug_matches(
+                f"inter{self.frame:04d}_s{src}_d{dst}_putative.svg",
+                images[src], images[dst], f_src.xy, f_dst.xy,
+                m_dbg.idx, m_dbg.mask,
+            )
 
         from coloc_tpu.parallel.mesh import inter_pose_device
 
@@ -695,6 +788,17 @@ class ColocSession:
         )
         if not bool(out.ok):
             return None
+        if self.debug_dir:
+            # guided map-to-map matches: each matched landmark's observation
+            # in the temp scene's two views (RobustMatcher::matchMaps
+            # parity, the matches the reference logs to guidedmatches2.txt)
+            d = out.diag
+            self._debug_matches(
+                f"inter{self.frame:04d}_s{src}_d{dst}_guided.svg",
+                images[src], images[dst], d.obs_src, d.obs_dst,
+                np.arange(np.asarray(d.obs_dst).shape[0]), d.guided_mask,
+                color="lime",
+            )
 
         # epipolar-guided residual diagnostics under the known relative pose
         # (RobustMatcher::matchMaps parity, guidedmatches2.txt log). The F

@@ -85,6 +85,53 @@ class TestSession:
         assert len(errs_rot) >= 4
         assert np.median(errs_rot) < 1.0, f"rotation errors: {errs_rot}"
 
+    def test_debug_svg_artifacts(self, dataset, tmp_path):
+        """debug_dir wires the reference's #ifdef DEBUG overlays at every
+        stage (coloc.hpp:153-159, 171-176, 189-192, 203-209, 232-239,
+        298-300 — VERDICT r3 item 7): bootstrap features + putative/inlier
+        matches, per-frame features + map matches, inter putative + guided
+        matches. The --debug-svg CLI flag sets debug_dir=OUT/debug."""
+        frames, gt = dataset
+        config = ColocConfig(
+            num_drones=2,
+            detector=DetectorOptions(
+                width=W, height=H, max_keypoints=512, num_levels=4,
+                fast_threshold=10,
+            ),
+            max_landmarks=512,
+        )
+        dbg = tmp_path / "debug"
+        session = ColocSession(
+            config, np.stack([K, K]), np.zeros((2, 3), np.float32),
+            debug_dir=str(dbg),
+        )
+        assert session.init_map({0: frames[0][0], 1: frames[1][0]})
+        # bootstrap artifacts (initMap stage set)
+        for name in ("init_features_d0.svg", "init_features_d1.svg",
+                     "init_putative_0_1.svg", "init_inlier_0_1.svg"):
+            assert (dbg / name).exists(), name
+        session.frame = 1
+        session.intra_pose(0, frames[0][1])
+        session.intra_pose(1, frames[1][1])
+        for name in ("frame0001_d0_features.svg",
+                     "frame0001_d0_map_matches.svg",
+                     "frame0001_d1_features.svg"):
+            assert (dbg / name).exists(), name
+        fused = session.inter_pose(0, 1, {0: frames[0][1], 1: frames[1][1]})
+        assert fused is not None
+        assert (dbg / "inter0001_s0_d1_putative.svg").exists()
+        assert (dbg / "inter0001_s0_d1_guided.svg").exists()
+        # the overlays are valid SVG with drawn primitives
+        text = (dbg / "init_inlier_0_1.svg").read_text()
+        assert text.startswith("<svg") and "<line" in text
+        text = (dbg / "frame0001_d0_features.svg").read_text()
+        assert "<circle" in text
+        # batched all-drones step emits the same per-frame artifacts
+        session.frame = 2
+        session.intra_pose_all({0: frames[0][2], 1: frames[1][2]})
+        assert (dbg / "frame0002_d0_features.svg").exists()
+        assert (dbg / "frame0002_d1_map_matches.svg").exists()
+
     def test_inter_pose_fusion(self, dataset):
         frames, gt = dataset
         session = make_session()
