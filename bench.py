@@ -423,7 +423,7 @@ def _bench_batched_serving(config, cam, mapdb, feats0, iters):
     key = jax.random.PRNGKey(0)
     lines = []
     sizes = tuple(int(b) for b in os.environ.get(
-        "COLOC_BENCH_BATCH_SIZES", "8,32").split(","))
+        "COLOC_BENCH_BATCH_SIZES", "8,16,32,64").split(","))
     step = serving.make_serve_step(config, cam)
     for B in sizes:
 

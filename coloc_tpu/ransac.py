@@ -167,6 +167,9 @@ def ransac(
     batch_solver: Callable = None,  # optional all-samples solver:
                                     # (gathered data (B, S, ...)) ->
                                     # (models (B, H, ...), valid (B, H))
+    rank_fn: Callable = None,       # optional FUSED pre-rank: (models
+                                    # (Hm, ...), valid, data...) -> (Hm,)
+                                    # ladder rank, no (Hm, M) materialized
 ) -> RansacResult:
     """Generic batched RANSAC.
 
@@ -191,6 +194,13 @@ def ransac(
       sets) never see the cheap arithmetic — it can only perturb WHICH
       models enter the top-32 (same approximation class as the ladder
       itself; the pre-rank property test pins winner stability).
+    rank_fn: optional fully FUSED ladder rank (e.g. the Pallas kernel in
+      ops/ransac_rank.py): computes the (Hm,) rank directly without ever
+      materializing the (Hm, M) residual matrix in HBM — the matrix is
+      pure bandwidth and dominates the batched-serving path. Must agree
+      with the ladder-over-rank_scorer form on WHICH models enter the
+      top-32 (the fused kernel is f32-exact, so it is at least as good);
+      exact NFA quantities still come from `scorer`/`batch_scorer`.
 
     scoring="count" ranks models by inliers under the fixed threshold;
     scoring="nfa" ranks by a-contrario NFA with a per-model ADAPTIVE
@@ -240,7 +250,8 @@ def ransac(
         # (tests/test_robust.py pins winner equality against exhaustive NFA
         # across seeds at reference capacity).
         rank_res = (
-            rank_scorer(flat_models, *data) if rank_scorer is not None
+            None if rank_fn is not None
+            else rank_scorer(flat_models, *data) if rank_scorer is not None
             else score_all(flat_models)
         )                                                           # (Hm, M)
         # rank = integral of the inlier-count curve over a geometric
@@ -267,13 +278,17 @@ def ransac(
         # with no winner-quality gain on the property test.
         jmin, jmax = -2, 2
         n_rungs = jmax - jmin + 1
-        v = jnp.log2(jnp.maximum(rank_res, 1e-30)) - jnp.log2(
-            jnp.float32(threshold_sq)
-        )
-        cnt = jnp.clip(
-            jnp.float32(jmax) - jnp.floor(v * 0.5), 0.0, jnp.float32(n_rungs)
-        )
-        rank = jnp.sum(jnp.where(valid[None, :], cnt, 0.0), axis=1)
+        if rank_fn is not None:
+            rank = rank_fn(flat_models, valid, *data)
+        else:
+            v = jnp.log2(jnp.maximum(rank_res, 1e-30)) - jnp.log2(
+                jnp.float32(threshold_sq)
+            )
+            cnt = jnp.clip(
+                jnp.float32(jmax) - jnp.floor(v * 0.5), 0.0,
+                jnp.float32(n_rungs),
+            )
+            rank = jnp.sum(jnp.where(valid[None, :], cnt, 0.0), axis=1)
         rank = jnp.where(flat_valid, rank, -1)
         k_nfa = min(_NFA_CANDIDATES, rank.shape[0])
         _, cand = jax.lax.top_k(rank, k_nfa)
@@ -282,7 +297,8 @@ def ransac(
             lambda a: a[cand], flat_models
         )
         cand_res = (
-            score_all(cand_models) if rank_scorer is not None
+            score_all(cand_models)
+            if (rank_scorer is not None or rank_fn is not None)
             else rank_res[cand]
         )
         score, thr = nfa_scores(

@@ -26,6 +26,7 @@ from coloc_tpu.geometry import essential as ess
 from coloc_tpu.geometry import fivept
 from coloc_tpu.geometry import homography as homog
 from coloc_tpu.geometry import p3p as p3p_ops
+from coloc_tpu.ops import ransac_rank
 from coloc_tpu.ransac import RansacResult, ransac
 from coloc_tpu.types import Pose, TwoViewGeometry
 
@@ -269,6 +270,18 @@ def absolute_pose_p3p(
             precision=jax.lax.Precision.DEFAULT,
         )
 
+    # fused Pallas pre-rank: the ladder rank without the (Hm, M) residual
+    # matrix in HBM — the matrix is pure bandwidth and turns super-linear
+    # under the batched-serving vmap (ops/ransac_rank.py)
+    rank_fn = None
+    if ransac_rank.available():
+
+        def rank_fn(flats, valid_c, Xw, bearings):
+            return ransac_rank.p3p_ladder_rank(
+                flats, Xw, bearings, valid_c, _mean_focal(cam),
+                opts.p3p_threshold ** 2,
+            )
+
     res = ransac(
         key, (X_world, b), mask, solver, scorer,
         sample_size=3, num_hypotheses=opts.num_hypotheses,
@@ -276,7 +289,7 @@ def absolute_pose_p3p(
         inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=_point_log_alpha0(cam),
         error_dim=2.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
-        batch_solver=p3p_ops.p3p_flats_batch,
+        batch_solver=p3p_ops.p3p_flats_batch, rank_fn=rank_fn,
     )
     pose = Pose(R=res.model[:9].reshape(3, 3), C=res.model[9:])
     return pose, res.inliers, res.n_inliers, res.success

@@ -575,3 +575,42 @@ class TestBatchScorerParity:
         # division-cleared form: same cancellation caveat as the epipolar
         # batch scorer (error concentrates on huge far-outlier residuals)
         np.testing.assert_allclose(got[keep], want[keep], rtol=2e-3, atol=1e-4)
+
+
+class TestFusedLadderRank:
+    def test_matches_xla_ladder(self, rng):
+        """The fused Pallas pre-rank (ops/ransac_rank.py) must reproduce the
+        XLA ladder (ransac.py nfa branch) exactly: same residual math
+        (robust._p3p_batch_residuals f32), same rung counts, masks applied,
+        behind-camera excluded, uneven Hm padded."""
+        from coloc_tpu import robust
+        from coloc_tpu.ops import ransac_rank
+
+        Hm, M = 64, 200
+        flats = []
+        for _ in range(Hm):
+            Q, _r = np.linalg.qr(rng.normal(size=(3, 3)))
+            flats.append(
+                np.concatenate([Q.reshape(9), rng.normal(0, 0.5, 3)])
+            )
+        flats = jnp.asarray(np.stack(flats), jnp.float32)
+        Xw = jnp.asarray(
+            rng.uniform(-3, 3, (M, 3)) + np.array([0, 0, 6.0]), jnp.float32
+        )
+        b = Xw / jnp.linalg.norm(Xw, axis=1, keepdims=True)
+        mask = jnp.asarray(rng.random(M) > 0.2)
+        focal, thr_sq = 451.0, 16.0
+
+        rr = robust._p3p_batch_residuals(flats, Xw, b, focal)
+        v = jnp.log2(jnp.maximum(rr, 1e-30)) - jnp.log2(jnp.float32(thr_sq))
+        cnt = jnp.clip(2.0 - jnp.floor(v * 0.5), 0.0, 5.0)
+        ref = jnp.sum(jnp.where(mask[None, :], cnt, 0.0), axis=1)
+
+        got = ransac_rank.p3p_ladder_rank(flats, Xw, b, mask, focal, thr_sq)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # non-tile-multiple model count takes the padded path
+        got2 = ransac_rank.p3p_ladder_rank(
+            flats[:37], Xw, b, mask, focal, thr_sq
+        )
+        assert got2.shape == (37,)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref[:37]))
