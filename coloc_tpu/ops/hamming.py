@@ -118,11 +118,15 @@ def _k2nn_kernel(q_ref, t_ref, penrcol_ref, idx_ref, best_ref, second_ref,
     semantics (a duplicated best descriptor leaves its twin as second).
     Four elementwise passes over the (TQ, TT) tile (shift, add, compare,
     select) + two reduces — down from seven in the dist-space formulation;
-    measured on v5e at Q=5120, T=8192: 127 -> 166 G cmp/s (matmul + row-sum
-    ceiling of the same tiling: 212 G cmp/s; the MXU int8 dot issues at
-    ~bf16 MAC rate). Only the final (TQ, 1) triple converts back to
-    distances. Penalized dots stay within int32 key range:
-    dot + pen >= -512 - 4096, so key >= -302M."""
+    measured on v5e at Q=5120, T=8192: 149-175 G cmp/s across sessions
+    (remote-tunnel timing varies +-8%) vs the 199-207 G cmp/s matmul +
+    row-sum ceiling of the same tiling. The residual gap is the epilogue's
+    ~6 VPU ops/element executing strictly after the tile's MXU dot; scratch
+    pipelining, chunked interleaving, bf16 and int4 operands all measured
+    SLOWER or are unsupported — see scripts/prof_k2nn_roofline.py
+    "ROUND-4 FINDINGS" for the full attribution. Only the final (TQ, 1)
+    triple converts back to distances. Penalized dots stay within int32 key
+    range: dot + pen >= -512 - 4096, so key >= -302M."""
     ti = pl.program_id(1)
 
     @pl.when(ti == 0)

@@ -12,6 +12,40 @@ Measures, at the bench capacity shape (Q=5120 padded, T=8192):
 
 Run: PYTHONPATH=/root/.axon_site:. python scripts/prof_k2nn_roofline.py
 (one TPU job at a time; iters>=200 chained, outputs consumed)
+
+ROUND-4 FINDINGS (closing VERDICT r3 item 5) — the kernel is at its
+practical ceiling; the residual gap is fully attributed:
+
+  ceiling A (matmul + row-sum)       199-207 G cmp/s  <- MXU at rate: the
+      537 MMAC/tile at the int8-dot issue rate ~= the measured 5.1 us/tile,
+      so A is MXU-bound, not epilogue-bound. bf16 operands measure 132 G
+      (int8 is ~1.5x bf16 here); int4 is rejected by this toolchain.
+  production C (512,2048)            149-175 G cmp/s across sessions
+      (the remote-tunnel timing varies +-8%; BENCH_r03's "186" and this
+      script's old "166" were single-session draws of that distribution).
+
+  The ~1.6 us/tile gap A-C is the 2-NN epilogue: ~6 VPU ops/element
+  (key pack, max-reduce, mask-compare-select, second max-reduce) that
+  Mosaic executes strictly AFTER the tile's dot (true data dependence).
+  Three overlap attempts all measured SLOWER and were abandoned:
+    - parity double-buffer scratch (epilogue of tile i-1 while matmul of
+      tile i): 136 G — the (TQ,TT) i32 scratch write+read adds 2 full
+      VMEM passes and pl.when predication serializes regions;
+    - single-scratch WAR pipelining: 128 G — same copies, worse hazard;
+    - in-kernel chunked interleave (nc sub-tiles, all dots issued before
+      all epilogues, no scratch): 145-150 G — Mosaic does not co-schedule
+      the independent VPU chains into the MXU drain.
+  TT=4096 vs 2048 is within session noise (interleaved A/B x3).
+
+  Cutting the epilogue below ~4 ops/element is blocked by exactness: the
+  second-best needs the within-tile non-argmax max (CUDAK2NN duplicate
+  semantics), and every cheaper formulation tried either loses the
+  argbest column (costs a recovery pass) or breaks exact-distance parity
+  for invalid banks. Conclusion: ~75-85% of the same-tiling matmul
+  ceiling IS the speed of light for an exact fused 2-NN on this MXU/VPU
+  balance; further gains need an epilogue-free algorithm change (e.g.
+  approximate pre-filtering), which trades exactness the matcher's
+  contract does not allow.
 """
 
 import functools
