@@ -83,6 +83,17 @@ def relative_pose_essential(
             Es, a1, a2, f1_sq, f2_sq, precision=jax.lax.Precision.DEFAULT
         )
 
+    # fused Pallas pre-rank: 5-pt emits up to 30 models/sample, so the
+    # (Hm, M) ladder planes are the call's dominant HBM traffic
+    # (ops/ransac_rank.py)
+    rank_fn = None
+    if ransac_rank.available():
+
+        def rank_fn(Es, valid_c, a1, a2):
+            return ransac_rank.epipolar_ladder_rank(
+                Es, a1, a2, valid_c, f1_sq, f2_sq, thr_sq
+            )
+
     # log_alpha0 for point-to-line error in PIXEL units
     A_px = (2.0 * cam1.cx) * (2.0 * cam1.cy)
     D_px = jnp.sqrt((2.0 * cam1.cx) ** 2 + (2.0 * cam1.cy) ** 2)
@@ -92,7 +103,7 @@ def relative_pose_essential(
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
         error_dim=1.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
-        batch_solver=fivept.five_point_batch,
+        batch_solver=fivept.five_point_batch, rank_fn=rank_fn,
     )
 
     R, t = ess.decompose_essential(res.model, x1, x2, res.inliers)
@@ -151,6 +162,15 @@ def relative_pose_fundamental(
             Fs, a1, a2, precision=jax.lax.Precision.DEFAULT
         )
 
+    rank_fn = None
+    if ransac_rank.available():
+
+        def rank_fn(Fs, valid_c, a1, a2):
+            return ransac_rank.epipolar_ladder_rank(
+                Fs, a1, a2, valid_c, 1.0, 1.0,
+                opts.essential_threshold ** 2,
+            )
+
     # log_alpha0 for point-to-line error in PIXEL units
     A_px = (2.0 * cam1.cx) * (2.0 * cam1.cy)
     D_px = jnp.sqrt((2.0 * cam1.cx) ** 2 + (2.0 * cam1.cy) ** 2)
@@ -161,6 +181,7 @@ def relative_pose_fundamental(
         inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
         error_dim=1.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
+        rank_fn=rank_fn,
     )
     # least-squares re-fit over the inlier set (see essential path)
     F_refit = ess.fundamental_8pt(u1, u2, weights=res.inliers.astype(jnp.float32))
@@ -330,6 +351,14 @@ def relative_pose_homography(
             Hs, a1, a2, precision=jax.lax.Precision.DEFAULT
         )
 
+    rank_fn = None
+    if ransac_rank.available():
+
+        def rank_fn(Hs, valid_c, a1, a2):
+            return ransac_rank.homography_ladder_rank(
+                Hs, a1, a2, valid_c, _mean_focal(cam2), thr_sq
+            )
+
     # log_alpha0 for POINT transfer error in image-2 PIXEL units
     A_px = (2.0 * cam2.cx) * (2.0 * cam2.cy)
     res = ransac(
@@ -338,6 +367,7 @@ def relative_pose_homography(
         threshold_sq=thr_sq, inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(jnp.pi / A_px),
         error_dim=2.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
+        rank_fn=rank_fn,
     )
     # least-squares re-fit over the inlier set before decomposition (the
     # minimal 4-point H limits translation-direction accuracy; same

@@ -614,3 +614,59 @@ class TestFusedLadderRank:
         )
         assert got2.shape == (37,)
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref[:37]))
+
+    def test_epipolar_rank_matches_xla_ladder(self, rng):
+        """Epipolar (E and F) fused ladder rank vs the XLA division-form
+        ladder: the product-form compare must count identical rungs (away
+        from measure-zero rung ties) for both the focal-scaled essential
+        case and the pixel-coordinate fundamental case."""
+        from coloc_tpu.geometry import essential as e_ops
+        from coloc_tpu.ops import ransac_rank
+
+        Hm, M = 90, 300
+        Es = jnp.asarray(rng.normal(size=(Hm, 3, 3)), jnp.float32)
+        Es = Es / jnp.linalg.norm(Es.reshape(Hm, 9), axis=1)[:, None, None]
+        x1 = jnp.asarray(rng.normal(0, 0.5, (M, 2)), jnp.float32)
+        x2 = jnp.asarray(rng.normal(0, 0.5, (M, 2)), jnp.float32)
+        mask = jnp.asarray(rng.random(M) > 0.25)
+        thr_sq = 16.0
+
+        for s1_sq, s2_sq, a1, a2 in (
+            (451.0 ** 2, 380.0 ** 2, x1, x2),     # essential, mixed lenses
+            (1.0, 1.0, x1 * 500, x2 * 500),       # fundamental, pixel coords
+        ):
+            rr = e_ops.symmetric_epipolar_distance_sq_batch(
+                Es, a1, a2, s1_sq, s2_sq
+            )
+            v = (jnp.log2(jnp.maximum(rr, 1e-30))
+                 - jnp.log2(jnp.float32(thr_sq)))
+            cnt = jnp.clip(2.0 - jnp.floor(v * 0.5), 0.0, 5.0)
+            ref = jnp.sum(jnp.where(mask[None, :], cnt, 0.0), axis=1)
+            got = ransac_rank.epipolar_ladder_rank(
+                Es, a1, a2, mask, s1_sq, s2_sq, thr_sq
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_homography_rank_matches_xla_ladder(self, rng):
+        """Homography fused ladder rank (P3P kernel, zmode=nonzero) vs the
+        XLA division-form ladder over f2^2-scaled forward transfer errors,
+        including negative-W points (legitimate projective sign) and
+        near-degenerate |W| ~ 0 exclusions."""
+        from coloc_tpu.geometry import homography as h_ops
+        from coloc_tpu.ops import ransac_rank
+
+        Hm, M = 48, 200
+        Hs = jnp.asarray(rng.normal(size=(Hm, 3, 3)), jnp.float32)
+        x1 = jnp.asarray(rng.normal(0, 0.5, (M, 2)), jnp.float32)
+        x2 = jnp.asarray(rng.normal(0, 0.5, (M, 2)), jnp.float32)
+        mask = jnp.asarray(rng.random(M) > 0.25)
+        f2_sq, thr_sq = 380.0 ** 2, 16.0
+
+        rr = f2_sq * h_ops.transfer_error_sq_batch(Hs, x1, x2)
+        v = jnp.log2(jnp.maximum(rr, 1e-30)) - jnp.log2(jnp.float32(thr_sq))
+        cnt = jnp.clip(2.0 - jnp.floor(v * 0.5), 0.0, 5.0)
+        ref = jnp.sum(jnp.where(mask[None, :], cnt, 0.0), axis=1)
+        got = ransac_rank.homography_ladder_rank(
+            Hs, x1, x2, mask, 380.0, thr_sq
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
