@@ -667,6 +667,34 @@ def _bench_akaze(scene, img, cam, iters):
         file=sys.stderr,
     )
 
+    # batched AKAZE detection (B streams through ONE FED pipeline instance —
+    # the frontend batch axis applied as a serving batch): per-stream
+    # detect+describe cost at B=4
+    from coloc_tpu.frontend import detect_and_describe_batch
+
+    B = 4
+    imgs_b = jnp.broadcast_to(jimg, (B,) + jimg.shape)
+
+    @jax.jit
+    def loop_batch(x):
+        def body(i, c):
+            f = detect_and_describe_batch(c, config.detector)
+            live = (f.score.sum() + f.xy.sum()
+                    + f.desc.astype(jnp.float32).sum())
+            return imgs_b + live * 1e-12
+        return jax.lax.fori_loop(0, max(2, it // 4), body, x)
+
+    nb = max(2, it // 4)
+    jax.block_until_ready(loop_batch(imgs_b))
+    t0 = time.time()
+    jax.block_until_ready(loop_batch(imgs_b))
+    dt_b = (time.time() - t0) / nb
+    print(
+        f"# akaze batched detect B={B}: {dt_b * 1e3:.2f}ms/step = "
+        f"{dt_b / B * 1e3:.2f}ms/stream ({B / dt_b:.1f} fps aggregate)",
+        file=sys.stderr,
+    )
+
 
 def _bench_accuracy(config, cam, scene, K):
     """End-to-end pose accuracy vs ground truth on the rendered scene

@@ -44,6 +44,17 @@ _TH = 256    # model-tile rows
 _TM = 1024   # correspondence-tile lanes
 
 
+def _pad_to_tiles(n: int, tile: int, base: int) -> int:
+    """Padded extent that the (min(tile, .), grid) split covers EXACTLY:
+    round up to `base` (hardware tile granule) below one tile, else to a
+    full-`tile` multiple — `n_padded % min(tile, n_padded) == 0` always
+    (a bare round-to-base 300 with tile 256 would silently drop rows 256+:
+    pallas grids truncate, they don't remainder)."""
+    if n <= tile:
+        return -(-n // base) * base
+    return -(-n // tile) * tile
+
+
 def _rank_kernel(jmax, n_rungs, thr_sq, zmode,
                  e_ref, xh_ref, obs_ref, mask_ref, rank_ref):
     """Grid (B, Hm/TH, Mp/TM); rank_ref block indexed by (b, h) only, so the
@@ -163,13 +174,13 @@ def p3p_ladder_rank(
     xh = jnp.concatenate([Xw, -jnp.ones_like(Xw[:, :1])], axis=-1).T  # (4, M)
     maskf = valid.astype(jnp.float32)[None, :]                   # (1, M)
 
-    Mp = -(-M // 128) * 128
+    Mp = _pad_to_tiles(M, _TM, 128)
     if Mp != M:
         # padded columns carry mask 0 (and Z = 0 -> behind -> cnt 0 anyway)
         xh = jnp.pad(xh, ((0, 0), (0, Mp - M)))
         obs = jnp.pad(obs, ((0, 0), (0, Mp - M)))
         maskf = jnp.pad(maskf, ((0, 0), (0, Mp - M)))
-    Hp = -(-Hm // 8) * 8
+    Hp = _pad_to_tiles(Hm, _TH, 8)
     if Hp != Hm:
         eflat = jnp.pad(eflat, ((0, Hp - Hm), (0, 0)))
 
@@ -213,12 +224,12 @@ def homography_ladder_rank(
     obs = (x2 * f).T                                    # (2, M)
     maskf = valid.astype(jnp.float32)[None, :]
 
-    Mp = -(-M // 128) * 128
+    Mp = _pad_to_tiles(M, _TM, 128)
     if Mp != M:
         xh = jnp.pad(xh, ((0, 0), (0, Mp - M)))
         obs = jnp.pad(obs, ((0, 0), (0, Mp - M)))
         maskf = jnp.pad(maskf, ((0, 0), (0, Mp - M)))
-    Hp = -(-Hm // 8) * 8
+    Hp = _pad_to_tiles(Hm, _TH, 8)
     if Hp != Hm:
         eflat = jnp.pad(eflat, ((0, Hp - Hm), (0, 0)))
 
@@ -342,11 +353,11 @@ def epipolar_ladder_rank(
     dmat = jnp.concatenate([O, s1f * P1, s2f * P2], axis=1).T  # (27, M)
     maskf = valid.astype(jnp.float32)[None, :]
 
-    Mp = -(-M // 128) * 128
+    Mp = _pad_to_tiles(M, _TM, 128)
     if Mp != M:
         dmat = jnp.pad(dmat, ((0, 0), (0, Mp - M)))
         maskf = jnp.pad(maskf, ((0, 0), (0, Mp - M)))
-    Hp = -(-Hm // 8) * 8
+    Hp = _pad_to_tiles(Hm, _TH, 8)
     if Hp != Hm:
         emat = jnp.pad(emat, ((0, Hp - Hm), (0, 0)))
 

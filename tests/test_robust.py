@@ -670,3 +670,50 @@ class TestFusedLadderRank:
             Hs, x1, x2, mask, 380.0, thr_sq
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_rank_awkward_tile_sizes(self, rng):
+        """Hm > one model tile but not a tile multiple (300) and M > one
+        lane tile but not a tile multiple (1100): the wrappers must pad to
+        FULL tile multiples — a bare granule round-up would silently drop
+        the tail rows (pallas grids truncate, they don't remainder)."""
+        from coloc_tpu import robust
+        from coloc_tpu.ops import ransac_rank
+
+        Hm, M = 300, 1100
+        flats = []
+        for _ in range(Hm):
+            Q, _r = np.linalg.qr(rng.normal(size=(3, 3)))
+            flats.append(
+                np.concatenate([Q.reshape(9), rng.normal(0, 0.5, 3)])
+            )
+        flats = jnp.asarray(np.stack(flats), jnp.float32)
+        Xw = jnp.asarray(
+            rng.uniform(-3, 3, (M, 3)) + np.array([0, 0, 6.0]), jnp.float32
+        )
+        b = Xw / jnp.linalg.norm(Xw, axis=1, keepdims=True)
+        mask = jnp.asarray(rng.random(M) > 0.2)
+        focal, thr_sq = 451.0, 16.0
+
+        rr = robust._p3p_batch_residuals(flats, Xw, b, focal)
+        v = jnp.log2(jnp.maximum(rr, 1e-30)) - jnp.log2(jnp.float32(thr_sq))
+        cnt = jnp.clip(2.0 - jnp.floor(v * 0.5), 0.0, 5.0)
+        ref = jnp.sum(jnp.where(mask[None, :], cnt, 0.0), axis=1)
+        got = ransac_rank.p3p_ladder_rank(flats, Xw, b, mask, focal, thr_sq)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        # epipolar wrapper, same awkward sizes
+        from coloc_tpu.geometry import essential as e_ops
+
+        Es = jnp.asarray(rng.normal(size=(Hm, 3, 3)), jnp.float32)
+        x1 = jnp.asarray(rng.normal(0, 0.5, (M, 2)), jnp.float32)
+        x2 = jnp.asarray(rng.normal(0, 0.5, (M, 2)), jnp.float32)
+        rrE = e_ops.symmetric_epipolar_distance_sq_batch(
+            Es, x1, x2, 451.0 ** 2, 451.0 ** 2
+        )
+        vE = jnp.log2(jnp.maximum(rrE, 1e-30)) - jnp.log2(jnp.float32(16.0))
+        cntE = jnp.clip(2.0 - jnp.floor(vE * 0.5), 0.0, 5.0)
+        refE = jnp.sum(jnp.where(mask[None, :], cntE, 0.0), axis=1)
+        gotE = ransac_rank.epipolar_ladder_rank(
+            Es, x1, x2, mask, 451.0 ** 2, 451.0 ** 2, 16.0
+        )
+        np.testing.assert_array_equal(np.asarray(gotE), np.asarray(refE))
