@@ -259,16 +259,17 @@ class ColocSession:
                     self._next_key(), feats[a].xy, feats[b].xy[m.idx],
                     m.mask, self.cams[a], self.cams[b],
                 )
-                self._debug_matches(
-                    f"init_putative_{a}_{b}.svg", images[a], images[b],
-                    feats[a].xy, feats[b].xy, m.idx, m.mask,
-                )
-                self._debug_matches(
-                    f"init_inlier_{a}_{b}.svg", images[a], images[b],
-                    feats[a].xy, feats[b].xy, m.idx,
-                    np.asarray(m.mask) & np.asarray(geo.inliers),
-                    color="lime",
-                )
+                if self.debug_dir:
+                    self._debug_matches(
+                        f"init_putative_{a}_{b}.svg", images[a], images[b],
+                        feats[a].xy, feats[b].xy, m.idx, m.mask,
+                    )
+                    self._debug_matches(
+                        f"init_inlier_{a}_{b}.svg", images[a], images[b],
+                        feats[a].xy, feats[b].xy, m.idx,
+                        np.asarray(m.mask) & np.asarray(geo.inliers),
+                        color="lime",
+                    )
                 if bool(geo.success):
                     pair_matches[(a, b)] = m
                     pair_geo[(a, b)] = geo
@@ -304,15 +305,16 @@ class ColocSession:
             self._next_key(), f0.xy, f1.xy[m.idx], m.mask,
             self.cams[0], self.cams[1],
         )
-        self._debug_matches(
-            "init_putative_0_1.svg", images[0], images[1],
-            f0.xy, f1.xy, m.idx, m.mask,
-        )
-        self._debug_matches(
-            "init_inlier_0_1.svg", images[0], images[1],
-            f0.xy, f1.xy, m.idx,
-            np.asarray(m.mask) & np.asarray(geo.inliers), color="lime",
-        )
+        if self.debug_dir:
+            self._debug_matches(
+                "init_putative_0_1.svg", images[0], images[1],
+                f0.xy, f1.xy, m.idx, m.mask,
+            )
+            self._debug_matches(
+                "init_inlier_0_1.svg", images[0], images[1],
+                f0.xy, f1.xy, m.idx,
+                np.asarray(m.mask) & np.asarray(geo.inliers), color="lime",
+            )
         if not bool(geo.success):
             return False
 
