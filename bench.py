@@ -408,6 +408,15 @@ def _bench_batched_serving(config, cam, mapdb, feats0, iters):
     per-hypothesis matrices; batching B streams shares the 2-NN kernel
     over B*kp concatenated queries and vmaps localization, so one chip
     serves B robot streams at far more ops/s than B= 1 x speedup.
+
+    Serving roofline (v5e, kp=1024, map=4096, measured via
+    scripts/prof_serving.py + scripts/prof_ransac_rank.py): per-stream
+    cost floors at ~0.09 ms = P3P hypothesis solve ~0.023 + fused ladder
+    rank ~0.013 + exact NFA on the top-32 ~0.020 + LM refine ~0.005 +
+    2-NN ~0.003 (sub-linear) + dispatch share; every stage is linear or
+    better in B through B=64, so throughput is flat at ~10.3-11.1k ops/s
+    (the pre-round-4 super-linear rank stage — (B, Hm, M) residual planes
+    in HBM — was the B>8 regression, fixed by ops/ransac_rank.py).
     Stderr only; the stdout headline stays single-stream."""
     import sys
     import time
