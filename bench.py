@@ -38,7 +38,6 @@ def main():
     from coloc_tpu.io import synthetic
     from coloc_tpu.matching import match_with_map
     from coloc_tpu.sfm import localize
-    from coloc_tpu.types import MapDB
 
     if small:
         h, w, kp, landmarks, levels = 96, 128, 128, 256, 2
@@ -69,29 +68,10 @@ def main():
 
     feats0 = detect_and_describe(img, config.detector)
     rng = np.random.default_rng(0)
-    L = landmarks
-    pad = max(L - kp, 0)
-    # geometrically CONSISTENT map: the first kp landmarks sit on the frame's
-    # feature bearings at random depths (X = d * K^-1 [u, v, 1]), so P3P +
-    # pose refinement run their honest convergent path (a map whose 3D points
-    # contradict the matches makes LM burn its full reject budget instead —
-    # unrepresentative of per-frame localization against a real map)
-    uv0 = np.asarray(feats0.xy)
-    depths = rng.uniform(5.0, 14.0, (kp, 1)).astype(np.float32)
-    dirs = (np.linalg.inv(K) @ np.c_[uv0, np.ones(kp)].T).T.astype(np.float32)
-    mapdb = MapDB(
-        X=jnp.asarray(
-            np.concatenate(
-                [dirs * depths, rng.uniform(-3, 3, (pad, 3))], axis=0
-            )[:L], jnp.float32,
-        ),
-        desc=jnp.concatenate([
-            feats0.desc,
-            jnp.asarray(rng.integers(0, 2**32, (pad, 16), dtype=np.uint64)
-                        .astype(np.uint32)),
-        ])[:L],
-        valid=jnp.ones(L, bool),
-    )
+    # geometrically CONSISTENT map (synthetic.consistent_mapdb): landmarks
+    # on the frame's feature bearings, so P3P + refinement run their honest
+    # convergent path
+    mapdb = synthetic.consistent_mapdb(feats0, K, landmarks, rng)
 
     # ---- headline: the north-star op (BASELINE.json metric "frame-pair
     # match+localize ops/sec/chip") = the reference's per-frame hot path
@@ -202,7 +182,8 @@ def main():
         _bench_baseline_configs(config, cam, mapdb, img, feats0, iters)
     if os.environ.get("COLOC_BENCH_ACCURACY", "0") == "1":
         _bench_accuracy(config, cam, scene, K)
-    if os.environ.get("COLOC_EUROC_ROOT") or os.environ.get("COLOC_KITTI_ROOT"):
+    if not small and (os.environ.get("COLOC_EUROC_ROOT")
+                      or os.environ.get("COLOC_KITTI_ROOT")):
         _bench_real_data()
 
 
@@ -224,12 +205,18 @@ def _bench_real_data():
         jobs.append(("kitti", "--kitti", os.environ["COLOC_KITTI_ROOT"]))
     n = os.environ.get("COLOC_REAL_DATA_FRAMES", "100")
     for name, flag, root in jobs:
-        with tempfile.TemporaryDirectory() as td:
-            proc = subprocess.run(
-                [sys.executable, "-m", "coloc_tpu.cli", flag, root,
-                 "--frames", n, "--out", td],
-                capture_output=True, text=True, cwd=here, timeout=1800,
-            )
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                proc = subprocess.run(
+                    [sys.executable, "-m", "coloc_tpu.cli", flag, root,
+                     "--frames", n, "--out", td],
+                    capture_output=True, text=True, cwd=here, timeout=1800,
+                )
+        except subprocess.TimeoutExpired:
+            # one hung dataset must not kill the bench (or the other job)
+            print(f"# {name} real-data TIMED OUT after 1800s ({root})",
+                  file=sys.stderr)
+            continue
         for line in proc.stdout.splitlines():
             if "ATE=" in line or "localized" in line:
                 print(f"# {name} real-data: {line}", file=sys.stderr)
@@ -254,7 +241,6 @@ def _bench_capacity(cam, img, iters):
     from coloc_tpu.matching import match_with_map, pack_map_bank
     from coloc_tpu.ops import hamming
     from coloc_tpu.sfm import localize
-    from coloc_tpu.types import MapDB
 
     kp, landmarks = 5000, 8192
     h, w = img.shape
@@ -266,21 +252,9 @@ def _bench_capacity(cam, img, iters):
     )
     feats = detect_and_describe(img, config.detector)
     rng = np.random.default_rng(1)
-    uv = np.asarray(feats.xy)
-    depths = rng.uniform(5.0, 14.0, (kp, 1)).astype(np.float32)
-    Kinv = np.linalg.inv(np.asarray(cam.K))
-    dirs = (Kinv @ np.c_[uv, np.ones(kp)].T).T.astype(np.float32)
-    pad = landmarks - kp
-    mapdb = MapDB(
-        X=jnp.asarray(np.concatenate([dirs * depths,
-                                      rng.uniform(-3, 3, (pad, 3))]),
-                      jnp.float32),
-        desc=jnp.concatenate([
-            feats.desc,
-            jnp.asarray(rng.integers(0, 2**32, (pad, 16), dtype=np.uint64)
-                        .astype(np.uint32))]),
-        valid=jnp.ones(landmarks, bool),
-    )
+    from coloc_tpu.io import synthetic as synth
+
+    mapdb = synth.consistent_mapdb(feats, np.asarray(cam.K), landmarks, rng)
     bank = pack_map_bank(mapdb)
     key = jax.random.PRNGKey(0)
 
@@ -351,27 +325,16 @@ def _bench_map_scaling(config, cam, feats0, iters):
 
     from coloc_tpu.matching import match_with_map, pack_map_bank
     from coloc_tpu.sfm import localize
-    from coloc_tpu.types import MapDB
 
     kp = feats0.xy.shape[0]
     rng = np.random.default_rng(3)
-    uv = np.asarray(feats0.xy)
-    depths = rng.uniform(5.0, 14.0, (kp, 1)).astype(np.float32)
-    Kinv = np.linalg.inv(np.asarray(cam.K))
-    dirs = (Kinv @ np.c_[uv, np.ones(kp)].T).T.astype(np.float32)
+    from coloc_tpu.io import synthetic as synth
+
     key = jax.random.PRNGKey(0)
     lines = []
     for landmarks in (16384, 65536):
-        pad = landmarks - kp
-        mapdb = MapDB(
-            X=jnp.asarray(np.concatenate(
-                [dirs * depths, rng.uniform(-3, 3, (pad, 3))]), jnp.float32),
-            desc=jnp.concatenate([
-                feats0.desc,
-                jnp.asarray(rng.integers(0, 2**32, (pad, 16),
-                                         dtype=np.uint64).astype(np.uint32)),
-            ]),
-            valid=jnp.ones(landmarks, bool),
+        mapdb = synth.consistent_mapdb(
+            feats0, np.asarray(cam.K), landmarks, rng
         )
         bank = pack_map_bank(mapdb)
 
@@ -566,7 +529,6 @@ def _bench_akaze(scene, img, cam, iters):
     from coloc_tpu.io import synthetic
     from coloc_tpu.matching import match_pair, match_with_map, pack_map_bank
     from coloc_tpu.sfm import localize
-    from coloc_tpu.types import MapDB
 
     h, w = img.shape
     kp = 5000
@@ -626,21 +588,7 @@ def _bench_akaze(scene, img, cam, iters):
     # structure as the TRIP headline full-pipeline line in main())
     rng = np.random.default_rng(2)
     L = config.max_landmarks
-    pad = L - kp
-    uv = np.asarray(fa.xy)
-    depths = rng.uniform(5.0, 14.0, (kp, 1)).astype(np.float32)
-    Kinv = np.linalg.inv(np.asarray(cam.K))
-    dirs = (Kinv @ np.c_[uv, np.ones(kp)].T).T.astype(np.float32)
-    mapdb = MapDB(
-        X=jnp.asarray(np.concatenate(
-            [dirs * depths, rng.uniform(-3, 3, (pad, 3))]), jnp.float32),
-        desc=jnp.concatenate([
-            fa.desc,
-            jnp.asarray(rng.integers(0, 2**32, (pad, 16), dtype=np.uint64)
-                        .astype(np.uint32)),
-        ]),
-        valid=jnp.ones(L, bool),
-    )
+    mapdb = synthetic.consistent_mapdb(fa, np.asarray(cam.K), L, rng)
     bank = pack_map_bank(mapdb)
 
     @jax.jit

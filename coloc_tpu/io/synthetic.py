@@ -141,3 +141,38 @@ def write_dataset(
             gt_C[d, f] = Cs[f]
     np.savez(os.path.join(folder, "groundtruth.npz"), Rs=gt_R, Cs=gt_C)
     return {"Rs": gt_R, "Cs": gt_C}
+
+
+def consistent_mapdb(feats, K: np.ndarray, num_landmarks: int,
+                     rng: np.random.Generator,
+                     depth_range: Tuple[float, float] = (5.0, 14.0)):
+    """Geometrically CONSISTENT MapDB for a detected frame: the first kp
+    landmarks sit on the frame's feature bearings at random depths
+    (X = d * K^-1 [u, v, 1]) carrying the frame's own descriptors, and the
+    remaining capacity is random far-away landmarks with random
+    descriptors. Localizing the frame against this map runs the honest
+    convergent P3P+LM path (a map whose 3D points contradict the matches
+    makes LM burn its full reject budget instead — unrepresentative of
+    per-frame localization against a real map). ONE recipe for every bench
+    and profiling script (bench.py main/_bench_akaze/_bench_capacity/
+    _bench_map_scaling, scripts/prof_*.py)."""
+    from coloc_tpu.types import MapDB
+
+    kp = int(feats.xy.shape[0])
+    L = int(num_landmarks)
+    pad = max(L - kp, 0)
+    uv = np.asarray(feats.xy)
+    depths = rng.uniform(*depth_range, (kp, 1)).astype(np.float32)
+    dirs = (np.linalg.inv(np.asarray(K))
+            @ np.c_[uv, np.ones(kp)].T).T.astype(np.float32)
+    X = np.concatenate(
+        [dirs * depths, rng.uniform(-3, 3, (pad, 3)).astype(np.float32)],
+        axis=0,
+    )[:L]
+    desc = jnp.concatenate([
+        feats.desc,
+        jnp.asarray(rng.integers(0, 2 ** 32, (pad, 16), dtype=np.uint64)
+                    .astype(np.uint32)),
+    ])[:L]
+    return MapDB(X=jnp.asarray(X, jnp.float32), desc=desc,
+                 valid=jnp.ones(L, bool))

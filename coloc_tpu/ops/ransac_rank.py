@@ -39,6 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from coloc_tpu.ops.dispatch import interpret_mode, use_pallas
+# ladder shape defaults come from the SINGLE source of truth in ransac.py
+from coloc_tpu.ransac import LADDER_JMAX, LADDER_RUNGS
 
 _TH = 256    # model-tile rows
 _TM = 1024   # correspondence-tile lanes
@@ -53,6 +55,24 @@ def _pad_to_tiles(n: int, tile: int, base: int) -> int:
     if n <= tile:
         return -(-n // base) * base
     return -(-n // tile) * tile
+
+
+def _pad_operands(models, data_cols):
+    """Pad a (Hm, D) model matrix and a list of (*, M)-column data arrays
+    to tile-covering extents (ONE implementation of the grid-truncation
+    invariant above for all three rank wrappers). Returns
+    (models_padded, data_padded_list, Hm, M)."""
+    Hm = models.shape[0]
+    M = data_cols[0].shape[-1]
+    Mp = _pad_to_tiles(M, _TM, 128)
+    if Mp != M:
+        data_cols = [
+            jnp.pad(a, ((0, 0), (0, Mp - M))) for a in data_cols
+        ]
+    Hp = _pad_to_tiles(Hm, _TH, 8)
+    if Hp != Hm:
+        models = jnp.pad(models, ((0, Hp - Hm), (0, 0)))
+    return models, data_cols, Hm, M
 
 
 def _rank_kernel(jmax, n_rungs, thr_sq, zmode,
@@ -154,8 +174,8 @@ def p3p_ladder_rank(
     valid: jnp.ndarray,     # (M,) bool correspondence validity
     focal,                  # scalar pixel scale
     thr_sq: float,          # static nominal squared gate (ladder center)
-    jmax: int = 2,
-    n_rungs: int = 5,
+    jmax: int = LADDER_JMAX,
+    n_rungs: int = LADDER_RUNGS,
 ) -> jnp.ndarray:
     """-> (Hm,) f32 ladder rank per model (higher = better candidate)."""
     Hm = flats.shape[0]
@@ -174,15 +194,8 @@ def p3p_ladder_rank(
     xh = jnp.concatenate([Xw, -jnp.ones_like(Xw[:, :1])], axis=-1).T  # (4, M)
     maskf = valid.astype(jnp.float32)[None, :]                   # (1, M)
 
-    Mp = _pad_to_tiles(M, _TM, 128)
-    if Mp != M:
-        # padded columns carry mask 0 (and Z = 0 -> behind -> cnt 0 anyway)
-        xh = jnp.pad(xh, ((0, 0), (0, Mp - M)))
-        obs = jnp.pad(obs, ((0, 0), (0, Mp - M)))
-        maskf = jnp.pad(maskf, ((0, 0), (0, Mp - M)))
-    Hp = _pad_to_tiles(Hm, _TH, 8)
-    if Hp != Hm:
-        eflat = jnp.pad(eflat, ((0, Hp - Hm), (0, 0)))
+    # padded columns carry mask 0 (and Z = 0 -> behind -> cnt 0 anyway)
+    eflat, (xh, obs, maskf), Hm, M = _pad_operands(eflat, [xh, obs, maskf])
 
     rank = _p3p_ladder_rank_pallas(
         eflat[None], xh[None], obs[None], maskf[None],
@@ -202,8 +215,8 @@ def homography_ladder_rank(
     valid: jnp.ndarray,     # (M,) bool
     focal,                  # image-2 pixel scale (err is f2^2-scaled)
     thr_sq: float,
-    jmax: int = 2,
-    n_rungs: int = 5,
+    jmax: int = LADDER_JMAX,
+    n_rungs: int = LADDER_RUNGS,
 ) -> jnp.ndarray:
     """-> (Hm,) ladder rank for forward transfer error f2^2 * ||x2 -
     proj(H h1)||^2 (homography.transfer_error_sq_batch semantics — |W| <
@@ -224,14 +237,7 @@ def homography_ladder_rank(
     obs = (x2 * f).T                                    # (2, M)
     maskf = valid.astype(jnp.float32)[None, :]
 
-    Mp = _pad_to_tiles(M, _TM, 128)
-    if Mp != M:
-        xh = jnp.pad(xh, ((0, 0), (0, Mp - M)))
-        obs = jnp.pad(obs, ((0, 0), (0, Mp - M)))
-        maskf = jnp.pad(maskf, ((0, 0), (0, Mp - M)))
-    Hp = _pad_to_tiles(Hm, _TH, 8)
-    if Hp != Hm:
-        eflat = jnp.pad(eflat, ((0, Hp - Hm), (0, 0)))
+    eflat, (xh, obs, maskf), Hm, M = _pad_operands(eflat, [xh, obs, maskf])
 
     rank = _p3p_ladder_rank_pallas(
         eflat[None], xh[None], obs[None], maskf[None],
@@ -329,8 +335,8 @@ def epipolar_ladder_rank(
     s1_sq,                  # img-1 focal^2 scale (traced scalar)
     s2_sq,                  # img-2 focal^2 scale
     thr_sq: float,          # static nominal squared gate (ladder center)
-    jmax: int = 2,
-    n_rungs: int = 5,
+    jmax: int = LADDER_JMAX,
+    n_rungs: int = LADDER_RUNGS,
 ) -> jnp.ndarray:
     """-> (Hm,) f32 ladder rank per model (higher = better candidate)."""
     Hm = Es.shape[0]
@@ -353,13 +359,7 @@ def epipolar_ladder_rank(
     dmat = jnp.concatenate([O, s1f * P1, s2f * P2], axis=1).T  # (27, M)
     maskf = valid.astype(jnp.float32)[None, :]
 
-    Mp = _pad_to_tiles(M, _TM, 128)
-    if Mp != M:
-        dmat = jnp.pad(dmat, ((0, 0), (0, Mp - M)))
-        maskf = jnp.pad(maskf, ((0, 0), (0, Mp - M)))
-    Hp = _pad_to_tiles(Hm, _TH, 8)
-    if Hp != Hm:
-        emat = jnp.pad(emat, ((0, Hp - Hm), (0, 0)))
+    emat, (dmat, maskf), Hm, M = _pad_operands(emat, [dmat, maskf])
 
     c = (jnp.float32(thr_sq) / jnp.maximum(s1f * s2f, 1e-20)).reshape(1)
     rank = _epi_ladder_rank_pallas(

@@ -31,6 +31,12 @@ import jax.numpy as jnp
 # exact-NFA evaluations per call (pre-ranked by two-threshold inlier counts;
 # see the scoring="nfa" branch in ransac())
 _NFA_CANDIDATES = 32
+# Pre-rank ladder shape: rungs threshold * 4^j for j in [-LADDER_JMAX +
+# (LADDER_RUNGS - 1) ... LADDER_JMAX]. ONE source of truth — the fused
+# Pallas rank kernels (ops/ransac_rank.py) default to these same
+# constants, so tuning the ladder here retunes every backend together.
+LADDER_JMAX = 2
+LADDER_RUNGS = 5
 
 
 class RansacResult(NamedTuple):
@@ -276,8 +282,7 @@ def ransac(
         # shuffle NFA tie-breaks toward broader models whose LM refinement
         # converges measurably slower (+0.2 ms on the per-frame P3P path)
         # with no winner-quality gain on the property test.
-        jmin, jmax = -2, 2
-        n_rungs = jmax - jmin + 1
+        jmax, n_rungs = LADDER_JMAX, LADDER_RUNGS
         if rank_fn is not None:
             rank = rank_fn(flat_models, valid, *data)
         else:

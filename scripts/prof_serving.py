@@ -18,7 +18,7 @@ from coloc_tpu.io import synthetic
 from coloc_tpu.matching import pack_map_bank
 from coloc_tpu.ops import hamming
 from coloc_tpu.sfm import localize
-from coloc_tpu.types import MapDB, Matches
+from coloc_tpu.types import Matches
 
 h, w, kp, L = 480, 752, 1024, 4096
 config = ColocConfig(
@@ -33,19 +33,7 @@ img = jnp.asarray(synthetic.render(scene, np.eye(3, dtype=np.float32),
                                    np.zeros(3, np.float32)))
 feats0 = detect_and_describe(img, config.detector)
 rng = np.random.default_rng(0)
-uv0 = np.asarray(feats0.xy)
-depths = rng.uniform(5.0, 14.0, (kp, 1)).astype(np.float32)
-dirs = (np.linalg.inv(K) @ np.c_[uv0, np.ones(kp)].T).T.astype(np.float32)
-pad = L - kp
-mapdb = MapDB(
-    X=jnp.asarray(np.concatenate([dirs * depths,
-                                  rng.uniform(-3, 3, (pad, 3))])[:L],
-                  jnp.float32),
-    desc=jnp.concatenate([
-        feats0.desc,
-        jnp.asarray(rng.integers(0, 2**32, (pad, 16), dtype=np.uint64)
-                    .astype(np.uint32))])[:L],
-    valid=jnp.ones(L, bool))
+mapdb = synthetic.consistent_mapdb(feats0, K, L, rng)
 bank = pack_map_bank(mapdb)
 iters = 300
 key = jax.random.PRNGKey(0)

@@ -57,11 +57,14 @@ def test_dryrun_multichip_reexec_from_one_device():
     assert "REEXEC_OK" in proc.stdout
 
 
-def test_sanitized_cpu_env_strips_tpu_plugin_triggers():
+def test_sanitized_cpu_env_strips_tpu_plugin_triggers(monkeypatch):
     """The re-exec child env must contain NO axon/TPU plugin trigger: not
     the PALLAS_AXON_* / TPU_* vars the sitecustomize keys on, and not the
     .axon_site PYTHONPATH entry that loads it (MULTICHIP_r03 root cause)."""
-    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "127.0.0.1")  # simulate
+    # monkeypatch (not a bare setdefault): leaking the trigger var into the
+    # pytest process would arm the sitecustomize in every later-spawned
+    # subprocess — the exact failure mode the sanitizer exists to prevent
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
     env = graft._sanitized_cpu_env(8)
     for k in env:
         assert not k.startswith(("PALLAS_AXON", "AXON_", "TPU_", "LIBTPU")), k

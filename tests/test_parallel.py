@@ -187,6 +187,31 @@ class TestMesh:
         np.testing.assert_allclose(
             np.asarray(fused_cov[1]), np.asarray(host.cov), atol=1e-4
         )
+        # COMPLEMENTARY TIGHT GATES on quantities upstream of the LM
+        # amplification, so the loose fused-position tolerance above cannot
+        # mask a genuine mesh-path regression: the shared core run directly
+        # (host jit) must agree with the sharded program on the monocular
+        # scale factor (pre-refine, drift only ~3e-6 rel) and the refined
+        # relative pose (pre-ICI).
+        from coloc_tpu.geometry import camera as cam_ops
+
+        cam = cam_ops.Camera(K=jnp.asarray(K), dist=jnp.zeros(3))
+        core = pmesh.inter_pose_device(
+            key, feats[1], feats[0], cam, cam,
+            jnp.stack([jnp.asarray(K)] * 2), jnp.zeros((2, 3)),
+            lp[0].pose, lp[0].cov[3:6, 3:6],
+            lp[1].pose.C, lp[1].cov[3:6, 3:6],
+            session.mapdb, config,
+        )
+        np.testing.assert_allclose(
+            float(scale[1]), float(core.scale), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(rel_R[1]), np.asarray(core.rel.R), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(rel_C[1]), np.asarray(core.rel.C), atol=2e-3
+        )
 
     def test_sharded_map_match_equals_single_device(self, rng):
         """Map-sharded 2-NN (bank split over 8 devices + collective merge)
