@@ -10,8 +10,10 @@ per-hypothesis matrices, and the 2-NN kernel's MXU tiles are only part
 full at one frame's worth of queries. Batching B streams shares ONE 2-NN
 Hamming pass over the B*K concatenated query descriptors against the
 HBM-resident bank, then vmaps P3P RANSAC + refinement across streams —
-measured on v5e this takes single-stream ~6000 ops/s to ~11800 ops/s at
-B=8 (bench.py batched-serving line; 0.085 ms/stream).
+measured on v5e this takes single-stream ~5700 ops/s to a flat
+~10.3-11.1k ops/s for every batch size from 8 through 64 (bench.py
+batched-serving line; ~0.09 ms/stream — roofline attribution in the
+bench section's docstring).
 
 Two entry layers:
 
