@@ -31,7 +31,7 @@ import jax.numpy as jnp
 # exact-NFA evaluations per call (pre-ranked by two-threshold inlier counts;
 # see the scoring="nfa" branch in ransac())
 _NFA_CANDIDATES = 32
-# Pre-rank ladder shape: rungs threshold * 4^j for j in [-LADDER_JMAX +
+# Pre-rank ladder shape: rungs threshold * 4^j for j in [LADDER_JMAX -
 # (LADDER_RUNGS - 1) ... LADDER_JMAX]. ONE source of truth — the fused
 # Pallas rank kernels (ops/ransac_rank.py) default to these same
 # constants, so tuning the ladder here retunes every backend together.

@@ -162,13 +162,14 @@ def relative_pose_fundamental(
             Fs, a1, a2, precision=jax.lax.Precision.DEFAULT
         )
 
+    thr_sq = opts.essential_threshold ** 2
+
     rank_fn = None
     if ransac_rank.available():
 
         def rank_fn(Fs, valid_c, a1, a2):
             return ransac_rank.epipolar_ladder_rank(
-                Fs, a1, a2, valid_c, 1.0, 1.0,
-                opts.essential_threshold ** 2,
+                Fs, a1, a2, valid_c, 1.0, 1.0, thr_sq,
             )
 
     # log_alpha0 for point-to-line error in PIXEL units
@@ -177,7 +178,7 @@ def relative_pose_fundamental(
     res = ransac(
         key, (u1, u2), mask, solver, scorer,
         sample_size=7, num_hypotheses=opts.num_hypotheses,
-        threshold_sq=opts.essential_threshold ** 2,
+        threshold_sq=thr_sq,
         inlier_multiple=opts.inlier_multiple,
         scoring=opts.scoring, log_alpha0=jnp.log10(2.0 * D_px / A_px),
         error_dim=1.0, batch_scorer=batch_scorer, rank_scorer=rank_scorer,
