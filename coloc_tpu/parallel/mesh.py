@@ -83,6 +83,9 @@ class InterDiag(NamedTuple):
     obs_src: jnp.ndarray      # (L, 2) temp src-view obs per map landmark
     obs_dst: jnp.ndarray      # (L, 2) temp dst-view obs per map landmark
     guided_mask: jnp.ndarray  # (L,) bool valid guided-residual entries
+    cov_rel: jnp.ndarray      # (3, 3) refine covariance CENTER block — the
+    #                           `cov` the reference adds to the source
+    #                           covariance before ICI (coloc.hpp:366-367)
 
 
 class InterPoseOut(NamedTuple):
@@ -160,10 +163,16 @@ def inter_pose_device(
     Xs, Cs = utils.rescale_map(temp.X, temp.Cs, scale)
     temp = temp._replace(X=Xs, Cs=Cs)
 
-    # 6. pose-only refinement of the scaled relative pose -> 6x6 covariance
+    # 6. pose-only refinement of the scaled relative pose -> 6x6 covariance.
+    #    Structure is CONSTANT, matching the reference's Optimize_Options
+    #    (Extrinsic ADJUST_ALL + Structure NONE, coloc.hpp:339); we keep the
+    #    src anchor view fixed instead of adjusting both poses — with
+    #    structure held, the anchor is already at its optimum, so this is
+    #    the same problem up to gauge and keeps rel = (Rs[1], Cs[1]) exact.
     temp, ba_res = reconstruct.refine_scene(
         temp, Ks_pair, dists_pair, cfg.refiner,
         fix_pose=jnp.asarray([True, False]), cov_view=1,
+        optimize_structure=False,
     )
 
     # 7. compose the fused candidate and ICI-fuse with my intra estimate
@@ -182,6 +191,7 @@ def inter_pose_device(
         omega=fused.omega, trace=fused.trace,
         obs_src=temp.obs[0][mm.idx], obs_dst=temp.obs[1][mm.idx],
         guided_mask=mm.mask & mapdb.valid & temp.X_valid[mm.idx],
+        cov_rel=ba_res.cov[3:6, 3:6],
     )
     return InterPoseOut(
         fused_pos=fused_pos, fused_cov=fused_cov, ok=ok, rel=rel,

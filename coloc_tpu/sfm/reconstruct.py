@@ -130,16 +130,23 @@ def refine_scene(
     opts: RefinerOptions,
     fix_pose: jnp.ndarray,
     cov_view: int = 1,
+    optimize_structure: bool = True,
 ) -> Tuple[Scene, BAResult]:
-    """Full BA over the scene (Reconstructor.hpp:150-161 pattern)."""
+    """BA over the scene (Reconstructor.hpp:150-161 pattern).
+
+    `optimize_structure=False` is the reference's poses-only call-site
+    pattern (Optimize_Options with Structure_Parameter_Type::NONE,
+    coloc.hpp:339): landmarks held constant, covariance = inverse pose
+    Hessian without Schur marginalization (ceres::Covariance on the
+    pose-only problem)."""
     problem = BAProblem(
         Rs=scene.Rs, Cs=scene.Cs, X=scene.X,
         obs=scene.obs,
         obs_mask=scene.obs_mask & scene.X_valid[None, :],
         Ks=cams_K, dists=cams_dist,
     )
-    res = refine(problem, opts, fix_pose, optimize_structure=True,
-                 cov_view=cov_view)
+    res = refine(problem, opts, fix_pose,
+                 optimize_structure=optimize_structure, cov_view=cov_view)
     out = scene._replace(Rs=res.Rs, Cs=res.Cs, X=res.X)
     return out, res
 
