@@ -79,10 +79,19 @@ class DronePeer:
         out_dir: str = "",
         seed: Optional[int] = None,
         bundle_depth: int = 2,
+        bundle_max_age: Optional[float] = 30.0,
     ):
         self.drone = int(drone)
         self.config = config
         self.node = node
+        # staleness bound on consumed feature bundles (seconds of wall
+        # clock, sender-stamped at encode time): a bundle that sat in a
+        # queue — or predates a broker restart — past this window describes
+        # a pose the sender has long since moved away from, so fusing it
+        # would inject a phantom relative constraint. None disables the
+        # gate. Peers are assumed roughly NTP-synced (same assumption ROS
+        # header stamps make).
+        self.bundle_max_age = bundle_max_age
         # local session: one drone, the shared map injected (no bootstrap)
         cfg1 = dataclasses.replace(config, num_drones=1)
         self.session = ColocSession(
@@ -112,15 +121,21 @@ class DronePeer:
         self.frame += 1
         self.session.frame = self.frame
         if publish and self.node is not None:
-            self.node.publish(
-                transport.pose_topic(self.drone),
-                transport.encode_pose(
-                    self.drone, self.frame - 1, time.time(),
-                    np.asarray(pwc.pose.C),
-                    rpy=None, cov3=np.asarray(pwc.cov[3:6, 3:6]),
-                    success=bool(pwc.success),
-                ),
-            )
+            try:
+                self.node.publish(
+                    transport.pose_topic(self.drone),
+                    transport.encode_pose(
+                        self.drone, self.frame - 1, time.time(),
+                        np.asarray(pwc.pose.C),
+                        rpy=None, cov3=np.asarray(pwc.cov[3:6, 3:6]),
+                        success=bool(pwc.success),
+                    ),
+                )
+            except OSError:
+                # pose telemetry is advisory: a bus outage must not stop
+                # LOCAL localization (reconnect-enabled nodes redial on the
+                # next publish/receive)
+                pass
         return pwc
 
     # ----------------------------------------------------------- feature bus
@@ -214,18 +229,28 @@ class DronePeer:
         self, src: int, timeout: float = 2.0,
         bundle: Optional[dict] = None, publish: bool = True,
         key: Optional[jax.Array] = None,
+        max_age: Optional[float] = None,
     ) -> Optional[covint.FusionResult]:
         """interPoseEstimator(src, me) over the wire: pull drone `src`'s
         freshest feature bundle off the bus and fuse it with my intra
         estimate (coloc.hpp:274-392, peer-to-peer deployment shape).
 
-        Returns None when no bundle arrives in `timeout`, the peer's
-        keypoint capacity differs from mine, or the relative-pose/common-
-        landmark gates fail (the reference's early-return semantics)."""
+        Returns None when no bundle arrives in `timeout`, the bundle is
+        older than the staleness window (`max_age`, defaulting to the
+        peer's `bundle_max_age`), the peer's keypoint capacity differs
+        from mine, or the relative-pose/common-landmark gates fail (the
+        reference's early-return semantics)."""
         if bundle is None:
             bundle = self.receive_bundle(src, timeout=timeout)
         if bundle is None:
             return None
+        # staleness gate: timestamp 0.0 means "unstamped" (synthetic /
+        # replayed bundles) and is exempt; publish_bundle always stamps
+        window = self.bundle_max_age if max_age is None else max_age
+        if window is not None and bundle.get("timestamp"):
+            age = time.time() - float(bundle["timestamp"])
+            if age > window:
+                return None  # stale: sender has moved on since stamping
         last = self.session.last_pose.get(0)
         if last is None:
             return None
@@ -305,19 +330,34 @@ def run_peer(
     the exchange eventually consistent as long as the peers' fusion windows
     overlap."""
     results = {"pose": [], "success": [], "fused": []}
-    with transport.Node(broker_port, host=host) as node:
+    # reconnect=True: a broker restart mid-run redials + resubscribes
+    # transparently; the re-offer loop below then repopulates the lost
+    # bundle queues, so fleets ride out a broker bounce
+    with transport.Node(broker_port, host=host, reconnect=True) as node:
         peer = DronePeer(drone, config, K, dist, mapdb, node, peers=peers)
+
+        def offer():
+            # a broker outage longer than the node's reconnect window makes
+            # publish raise; localization is LOCAL and must keep going — the
+            # next offer retries (and the node redials) once the broker is
+            # back
+            try:
+                peer.publish_bundle()
+                return True
+            except OSError:
+                return False
+
         for f, image in enumerate(frames):
             pwc = peer.step(image)
             results["pose"].append(np.asarray(pwc.pose.C))
             results["success"].append(bool(pwc.success))
             if bundle_every and f % bundle_every == 0:
-                peer.publish_bundle()
+                offer()
             if inter_every and (f + 1) % inter_every == 0:
                 deadline = time.monotonic() + inter_timeout
                 pending = set(int(s) for s in peers)
                 while pending:
-                    peer.publish_bundle()  # re-offer for late subscribers
+                    offer()  # re-offer for late subscribers
                     for src in sorted(pending):
                         fused = peer.inter_fuse(src, timeout=2.0)
                         if fused is not None:

@@ -128,13 +128,30 @@ class Broker:
 
 
 class Node:
-    """One bus endpoint: publish/subscribe raw payloads on named topics."""
+    """One bus endpoint: publish/subscribe raw payloads on named topics.
 
-    def __init__(self, port: int, host: str = "127.0.0.1"):
+    `reconnect=True` makes the node survive a broker restart (VERDICT r4
+    item 7 — roscpp reconnects implicitly; the native bus should not be
+    weaker): on a dead connection, publish/receive transparently redial
+    `host:port` (retrying up to `reconnect_timeout` seconds) and replay
+    every live subscription before retrying the operation once. Messages
+    published while the broker was down are gone — topic-bus semantics,
+    same as ROS; the peer layer's re-offer loop (distributed.run_peer)
+    restores eventual consistency on top.
+    """
+
+    def __init__(self, port: int, host: str = "127.0.0.1",
+                 reconnect: bool = False, reconnect_timeout: float = 10.0,
+                 reconnect_interval: float = 0.25):
         lib = _load_library()
         if lib is None:
             raise RuntimeError("native transport unavailable (build failed)")
         self._lib = lib
+        self._host = host
+        self._port = port
+        self._reconnect = reconnect
+        self._reconnect_timeout = reconnect_timeout
+        self._reconnect_interval = reconnect_interval
         self._handle = lib.coloc_node_connect(host.encode(), port)
         if not self._handle:
             raise OSError(f"failed to connect to broker at {host}:{port}")
@@ -143,6 +160,14 @@ class Node:
         # fresh create_string_buffer per call zero-fills max_bytes (16 MB
         # default) on EVERY 0.1 s poll timeout.
         self._tls = threading.local()
+        self._subs: dict = {}          # topic -> depth, for resubscribe
+        self._conn_lock = threading.Lock()
+        self._gen = 0                  # bumped on every successful redial
+        # old handles are NOT freed at reconnect time: another thread may
+        # still be blocked inside coloc_node_receive on one (close would be
+        # use-after-free). They hold a dead fd + small struct each and are
+        # reaped in close().
+        self._dead_handles: list = []
 
     def _recv_buf(self, max_bytes: int):
         buf = getattr(self._tls, "buf", None)
@@ -151,9 +176,45 @@ class Node:
             self._tls.buf = buf
         return buf
 
+    def _try_reconnect(self, gen_seen: int) -> bool:
+        """Redial the broker and replay subscriptions. Returns True when the
+        node has a live connection newer than `gen_seen` (whether this
+        thread redialed or another beat it to the lock)."""
+        if not self._reconnect:
+            return False
+        import time as _time
+
+        with self._conn_lock:
+            if self._handle is None:
+                return False                      # close()d deliberately
+            if self._gen != gen_seen:
+                return True                       # another thread redialed
+            deadline = _time.monotonic() + self._reconnect_timeout
+            while _time.monotonic() < deadline:
+                h = self._lib.coloc_node_connect(
+                    self._host.encode(), self._port)
+                if h:
+                    self._dead_handles.append(self._handle)
+                    self._handle = h
+                    for topic, depth in self._subs.items():
+                        self._lib.coloc_node_subscribe(
+                            self._handle, topic.encode(), depth)
+                    self._gen += 1
+                    warnings.warn(
+                        f"transport node: reconnected to broker at "
+                        f"{self._host}:{self._port} and resubscribed "
+                        f"{len(self._subs)} topics", RuntimeWarning)
+                    return True
+                _time.sleep(self._reconnect_interval)
+            return False
+
     def publish(self, topic: str, payload: bytes) -> None:
+        gen = self._gen
         rc = self._lib.coloc_node_publish(
             self._handle, topic.encode(), payload, len(payload))
+        if rc != 0 and self._try_reconnect(gen):
+            rc = self._lib.coloc_node_publish(
+                self._handle, topic.encode(), payload, len(payload))
         if rc != 0:
             raise OSError(f"publish to {topic!r} failed")
 
@@ -162,19 +223,28 @@ class Node:
                                             depth)
         if rc != 0:
             raise OSError(f"subscribe to {topic!r} failed")
+        self._subs[topic] = depth
 
     def unsubscribe(self, topic: str) -> None:
         self._lib.coloc_node_unsubscribe(self._handle, topic.encode())
+        self._subs.pop(topic, None)
 
     def receive(self, topic: str, timeout: float = 1.0,
                 max_bytes: int = 16 << 20) -> Optional[bytes]:
         """Next payload on `topic`, or None on timeout.
 
         Raises KeyError on unsubscribed topics, TransportClosed on closed
-        nodes (the C ABI's -2 / -3), PayloadTooLarge past max_bytes."""
+        nodes (the C ABI's -2 / -3), PayloadTooLarge past max_bytes. With
+        reconnect=True a dead connection is redialed instead of raising;
+        the receive is then retried once on the fresh connection (normally
+        a timeout -> None, since queued messages died with the broker)."""
         buf = self._recv_buf(max_bytes)
+        gen = self._gen
         n = self._lib.coloc_node_receive(
             self._handle, topic.encode(), buf, max_bytes, timeout)
+        if n == -3 and self._try_reconnect(gen):
+            n = self._lib.coloc_node_receive(
+                self._handle, topic.encode(), buf, max_bytes, timeout)
         if n == -1:
             return None
         if n == -2:
@@ -187,9 +257,13 @@ class Node:
         return buf.raw[:n]
 
     def close(self):
-        if self._handle:
-            self._lib.coloc_node_close(self._handle)
-            self._handle = None
+        with self._conn_lock:
+            if self._handle:
+                self._lib.coloc_node_close(self._handle)
+                self._handle = None
+            for h in self._dead_handles:
+                self._lib.coloc_node_close(h)
+            self._dead_handles = []
 
     def __enter__(self):
         return self

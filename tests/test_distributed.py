@@ -16,6 +16,7 @@ import pathlib
 import subprocess
 import sys
 import textwrap
+import time
 
 import jax
 import numpy as np
@@ -127,6 +128,21 @@ class TestPeerEquivalence:
         np.testing.assert_allclose(
             np.asarray(fused.cov), np.asarray(host.cov), atol=1e-5
         )
+
+        # staleness gate (VERDICT r4 item 7): the SAME bundle stamped an
+        # hour ago must be refused before any compute; stamped fresh it
+        # fuses; timestamp 0.0 (unstamped) is exempt (used above)
+        import time as _time
+
+        stale = dict(bundle, timestamp=_time.time() - 3600.0)
+        assert peer.inter_fuse(0, bundle=stale, key=key,
+                               publish=False) is None
+        fresh = dict(bundle, timestamp=_time.time())
+        assert peer.inter_fuse(0, bundle=fresh, key=key,
+                               publish=False) is not None
+        # per-call override beats the constructor window
+        assert peer.inter_fuse(0, bundle=fresh, key=key, publish=False,
+                               max_age=1e-9) is None
 
     def test_capacity_mismatch_rejected(self, dataset):
         """A peer with a different keypoint capacity is refused cleanly."""
@@ -247,3 +263,169 @@ def test_two_process_peers(dataset, tmp_path):
             assert out["success"].all(), f"peer {d} lost localization"
             assert int(out["n_fused"]) >= 1, f"peer {d} never fused"
             assert np.isfinite(out["fused_pos"]).all()
+
+
+_RESTART_PEER_SCRIPT = textwrap.dedent("""
+    import os
+    import sys
+    import time
+
+    import numpy as np
+
+    state = np.load(sys.argv[1], allow_pickle=True)
+    drone = int(sys.argv[2])
+    broker_port = int(sys.argv[3])
+    out_path = sys.argv[4]
+    sync_dir = sys.argv[5]
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from coloc_tpu import checkpoint
+    from coloc_tpu.config import ColocConfig, DetectorOptions
+    from coloc_tpu.distributed import DronePeer
+    from coloc_tpu.io import transport
+
+    mapdb = checkpoint.load_mapdb(str(state["mapdb_path"]))
+    config = ColocConfig(
+        num_drones=2,
+        detector=DetectorOptions(
+            width=int(state["W"]), height=int(state["H"]),
+            max_keypoints=512, num_levels=4, fast_threshold=10,
+        ),
+        max_landmarks=512,
+    )
+    frames = [state[f"frame{i}"] for i in range(int(state["n_frames"]))]
+    other = 1 - drone
+
+    def fuse_round(peer, deadline_s):
+        deadline = time.monotonic() + deadline_s
+        while time.monotonic() < deadline:
+            try:
+                peer.publish_bundle()
+            except OSError:
+                pass  # broker down: the node redials on a later attempt
+            fused = peer.inter_fuse(other, timeout=2.0)
+            if fused is not None:
+                return fused
+        return None
+
+    with transport.Node(broker_port, reconnect=True,
+                        reconnect_timeout=60.0) as node:
+        peer = DronePeer(drone, config, state["K"],
+                         np.zeros(3, np.float32), mapdb, node,
+                         peers=[other], bundle_max_age=300.0)
+        # phase 1: two frames + one fusion on the ORIGINAL broker
+        for f in range(2):
+            peer.step(frames[f])
+        fused1 = fuse_round(peer, 300.0)
+        open(os.path.join(sync_dir, f"fused1_{drone}"), "w").close()
+        # wait for the harness to bounce the broker
+        resume = os.path.join(sync_dir, "resume")
+        while not os.path.exists(resume):
+            time.sleep(0.2)
+        # phase 2: two frames + one fusion over the RESTARTED broker —
+        # the reconnect-enabled node must redial + resubscribe on its own
+        for f in range(2, 4):
+            peer.step(frames[f])
+        fused2 = fuse_round(peer, 300.0)
+        peer.close()
+    np.savez(
+        out_path,
+        fused_before=fused1 is not None,
+        fused_after=fused2 is not None,
+        pos_after=(np.asarray(fused2.pos) if fused2 is not None
+                   else np.full(3, np.nan)),
+    )
+    print("peer", drone, "done:", fused1 is not None, fused2 is not None)
+""")
+
+
+@pytest.mark.skipif(not transport.available(),
+                    reason="native transport library not built")
+def test_two_process_peers_survive_broker_restart(tmp_path):
+    """Fleet resilience (VERDICT r4 item 7): two peer processes fuse once,
+    the harness KILLS the broker and restarts it on the same port, and the
+    peers — via Node(reconnect=True) redial + resubscribe and the bundle
+    re-offer loop — fuse again over the fresh broker."""
+    from coloc_tpu import checkpoint
+
+    scene = synthetic.make_scene(H, W, K, seed=3)
+    frames = {}
+    for d in range(2):
+        Rs, Cs = synthetic.trajectory(5, d)
+        frames[d] = [synthetic.render(scene, Rs[f], Cs[f]) for f in range(5)]
+
+    config = make_config()
+    session = ColocSession(config, np.stack([K, K]),
+                           np.zeros((2, 3), np.float32))
+    assert session.init_map({d: frames[d][0] for d in range(2)})
+    map_path = tmp_path / "map.npz"
+    checkpoint.save_mapdb(str(map_path), session.mapdb)
+
+    script = tmp_path / "peer_restart.py"
+    script.write_text(_RESTART_PEER_SCRIPT)
+    sync_dir = tmp_path / "sync"
+    sync_dir.mkdir()
+
+    import os
+
+    broker = transport.Broker()
+    port = broker.port
+    broker2 = None
+    procs = []
+    try:
+        for d in range(2):
+            state_path = tmp_path / f"rstate{d}.npz"
+            np.savez(
+                state_path, mapdb_path=str(map_path), K=K, H=H, W=W,
+                n_frames=4,
+                **{f"frame{i}": frames[d][i + 1] for i in range(4)},
+            )
+            out_path = tmp_path / f"rout{d}.npz"
+            repo = str(pathlib.Path(__file__).resolve().parent.parent)
+            env = {"JAX_PLATFORMS": "cpu", "COLOC_TPU_INTERPRET": "1",
+                   "PATH": "/usr/bin:/bin", "PYTHONPATH": repo}
+            env.update({k: v for k, v in os.environ.items()
+                        if k not in env and k != "XLA_FLAGS"})
+            procs.append((d, out_path, subprocess.Popen(
+                [sys.executable, str(script), str(state_path), str(d),
+                 str(port), str(out_path), str(sync_dir)],
+                cwd=repo, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )))
+        # wait until BOTH peers finished their first fusion round
+        deadline = time.time() + 1200
+        while time.time() < deadline:
+            if all((sync_dir / f"fused1_{d}").exists() for d in range(2)):
+                break
+            for d, _, p in procs:
+                assert p.poll() is None or p.returncode == 0, (
+                    f"peer {d} died early:\n{p.communicate()[1]}")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("peers never reached first fusion")
+
+        # bounce the broker on the same port, then release the peers
+        broker.close()
+        time.sleep(0.5)
+        broker2 = transport.Broker(port)
+        (sync_dir / "resume").touch()
+
+        for d, out_path, proc in procs:
+            stdout, stderr = proc.communicate(timeout=1200)
+            assert proc.returncode == 0, (
+                f"peer {d} failed:\n{stdout}\n{stderr}")
+        for d, out_path, _ in procs:
+            out = np.load(out_path)
+            assert bool(out["fused_before"]), f"peer {d}: no pre-bounce fuse"
+            assert bool(out["fused_after"]), (
+                f"peer {d}: never fused after broker restart")
+            assert np.isfinite(out["pos_after"]).all()
+    finally:
+        for _, _, p in procs:
+            if p.poll() is None:
+                p.kill()
+        if broker2 is not None:
+            broker2.close()
+        broker.close()

@@ -232,6 +232,58 @@ def test_publisher_degrades_when_bus_dies():
     node.close()
 
 
+def test_node_reconnects_after_broker_restart():
+    """reconnect=True nodes must survive a broker bounce on the same port:
+    redial, resubscribe, and deliver traffic again (VERDICT r4 item 7 —
+    roscpp reconnects implicitly; the native bus should not be weaker).
+    Messages in flight during the outage are lost (topic-bus semantics);
+    the test asserts EVENTUAL recovery via republish."""
+    b = transport.Broker()
+    port = b.port
+    sub = transport.Node(port, reconnect=True, reconnect_timeout=15.0)
+    pub = transport.Node(port, reconnect=True, reconnect_timeout=15.0)
+    sub.subscribe("t/r", depth=4)
+    time.sleep(0.05)
+    pub.publish("t/r", b"before")
+    assert sub.receive("t/r", timeout=5.0) == b"before"
+
+    b.close()          # bounce the broker
+    time.sleep(0.2)
+    b2 = transport.Broker(port)  # same port (SO_REUSEADDR on the listener)
+    try:
+        # recovery loop: publishes into the dead socket may be silently
+        # absorbed by TCP buffering before the RST arrives, so republish
+        # until the redialed subscription delivers
+        got = None
+        deadline = time.monotonic() + 30.0
+        with pytest.warns(RuntimeWarning, match="reconnected to broker"):
+            while got is None and time.monotonic() < deadline:
+                try:
+                    pub.publish("t/r", b"after")
+                except OSError:
+                    pass
+                got = sub.receive("t/r", timeout=1.0)
+        assert got == b"after"
+    finally:
+        sub.close()
+        pub.close()
+        b2.close()
+
+
+def test_node_without_reconnect_still_raises():
+    """Default nodes keep the explicit failure semantics: a dead broker
+    surfaces TransportClosed, never a silent hang or hidden redial."""
+    b = transport.Broker()
+    n = transport.Node(b.port)
+    n.subscribe("t/x", depth=2)
+    b.close()
+    time.sleep(0.2)
+    with pytest.raises(transport.TransportClosed):
+        for _ in range(50):  # first receives may drain the closing window
+            n.receive("t/x", timeout=0.1)
+    n.close()
+
+
 def test_broker_stop_with_live_clients_is_clean():
     """Stopping a broker with connected clients must join its reader
     threads (not free the broker under them) and unblock receivers."""
