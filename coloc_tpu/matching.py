@@ -53,15 +53,29 @@ def pack_map_bank(mapdb: MapDB):
     return hamming.pack_bank(mapdb.desc, mapdb.valid)
 
 
+def pack_map_bank_twostage(mapdb: MapDB):
+    """Resident bank for the two-stage large-map matcher (coarse 128-bit
+    group prefilter + exact 512-bit re-rank; see
+    ops/hamming.hamming_2nn_twostage for the contract). Worth it past
+    ~10^5 landmarks, where the brute-force matmul is bank-bound."""
+    return hamming.pack_bank_twostage(mapdb.desc, mapdb.valid)
+
+
 def match_with_map(query: Features, mapdb: MapDB, opts: MatcherOptions,
-                   bank=None) -> Matches:
+                   bank=None, twostage_bank=None) -> Matches:
     """Frame-vs-map matching (matchSceneWithMap / matchFeaturesWithMap parity).
 
     Returned idx indexes into the map landmark bank (mapdb.X / mapdb.desc),
     mirroring the reference's mapRegionIdx indirection (colocData.hpp:111-119).
     `bank`: optional precomputed resident bank from pack_map_bank.
+    `twostage_bank`: optional pack_map_bank_twostage bank — the two-stage
+    prefilter + exact-re-rank path for very large maps.
     """
-    if bank is not None:
+    if twostage_bank is not None:
+        idx, best, second = hamming.hamming_2nn_twostage(
+            query.desc, query.valid, twostage_bank
+        )
+    elif bank is not None:
         idx, best, second = hamming.hamming_2nn_bank(
             query.desc, query.valid, bank
         )

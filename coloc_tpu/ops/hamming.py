@@ -313,3 +313,149 @@ def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Exact popcount Hamming distance between packed descriptor rows (test oracle)."""
     x = jnp.bitwise_xor(a, b)
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage matcher for very large banks (SURVEY §5 long-axis analog)
+# ---------------------------------------------------------------------------
+#
+# Brute-force 2-NN is MXU-bound at Q*T*512 MACs; past ~10^5 landmarks the
+# bank, not the frame, dominates per-frame cost. The two-stage matcher
+# prunes with a 128-bit stride-sampled prefilter (1/4 the MACs) that keeps
+# the top-2 candidates of every GROUP of _GROUP train rows, then re-ranks
+# the surviving 2*T/_GROUP candidates with EXACT 512-bit popcount
+# distances (CUDAK2NN margin semantics intact on the survivors:
+# lowest-index best, duplicate descriptors leave their twin as second).
+#
+# Contract (documented approximation): the best match is retrieved exactly
+# whenever its group-local 128-bit rank is <= 2 — for matching-shaped data
+# (a true match sits tens of bits below the background pool) this is
+# overwhelmingly the case, and tests/test_hamming.py pins accepted-set
+# equality against the brute-force kernel at 256k. The SECOND-best (margin
+# denominator) is the minimum over the candidate pool, not the global
+# pool, so margins are biased up by a few bits when the true second-best
+# hides outside the survivors — accept decisions at the reference
+# threshold (60) are unaffected for true matches, which is what the test
+# asserts. For exact-margin semantics at any size, use the brute-force
+# kernel or shard it (parallel.mesh.sharded_map_match).
+
+_GROUP = 2048          # train rows per prefilter group (= _TT tile)
+_PF_BITS = 128         # stride-sampled prefilter bits (512 / 4)
+_PF_STRIDE = DESC_BITS // _PF_BITS
+_CAND_IDX_MASK = (1 << 20) - 1   # candidate index field in the rerank key
+_RERANK_INVALID = 600            # > any real distance, keeps keys in int32
+
+
+def _k2nn_group_kernel(q_ref, t_ref, penrcol_ref, idx1_ref, idx2_ref):
+    """Grid = (Q/TQ, G): per (query tile, group) write the group-local
+    best and second-best candidate GLOBAL indices (128-bit dot space,
+    packed-key argmax — same trick as _k2nn_kernel, no accumulation)."""
+    gi = pl.program_id(1)
+    dot = jax.lax.dot_general(
+        q_ref[:], t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    key = (dot << 16) + penrcol_ref[:]
+    kmax = jnp.max(key, axis=1, keepdims=True)
+    masked = jnp.where(key == kmax, _MIN_KEY, key)
+    kmax2 = jnp.max(masked, axis=1, keepdims=True)
+    base = gi * _GROUP
+    idx1_ref[:] = (_GROUP - 1) - (kmax & 65535) + base
+    idx2_ref[:] = (_GROUP - 1) - (kmax2 & 65535) + base
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _group_top2_pallas(sq_sub, st_sub, penrcol, interpret=False):
+    Qp, Tp = sq_sub.shape[0], st_sub.shape[0]
+    grid = (Qp // _TQ, Tp // _GROUP)
+    idx1, idx2 = pl.pallas_call(
+        _k2nn_group_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TQ, _PF_BITS), lambda qi, gi: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GROUP, _PF_BITS), lambda qi, gi: (gi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _GROUP), lambda qi, gi: (0, gi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TQ, 1), lambda qi, gi: (qi, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TQ, 1), lambda qi, gi: (qi, gi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Qp, Tp // _GROUP), jnp.int32),
+            jax.ShapeDtypeStruct((Qp, Tp // _GROUP), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * Tp * _PF_BITS,
+            bytes_accessed=(Qp + Tp) * _PF_BITS + Qp * (Tp // _GROUP) * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(sq_sub, st_sub, penrcol)
+    return idx1, idx2
+
+
+def pack_bank_twostage(t_desc: jnp.ndarray, t_valid: jnp.ndarray):
+    """Resident two-stage bank: stride-sampled ±1 prefilter operand +
+    penalty row + the PACKED full descriptors (stage 2 gathers these) +
+    validity. Groups pad to _GROUP multiples with invalid rows."""
+    T = t_desc.shape[0]
+    Tp = _round_up(T, _GROUP)
+    st = unpack_bipolar(t_desc)                     # (T, 512) int8
+    st_sub = jnp.pad(st[:, ::_PF_STRIDE], ((0, Tp - T), (0, 0)))
+    penrcol = _penrcol_row(t_valid, Tp)
+    return st_sub, penrcol, t_desc, t_valid, T
+
+
+def hamming_2nn_twostage(
+    q_desc: jnp.ndarray,   # (Q, 16) uint32
+    q_valid: jnp.ndarray,  # (Q,) bool
+    bank,                  # pack_bank_twostage output
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-stage 2-NN against a resident large bank; same output contract
+    as hamming_2nn (idx, best, second)."""
+    if interpret is None:
+        interpret = interpret_mode()
+    st_sub, penrcol, t_desc, t_valid, T = bank
+    Q = q_desc.shape[0]
+    Qp = _round_up(Q, _TQ)
+
+    # ---- stage 1: group-local top-2 at 128 prefilter bits (MXU) ----------
+    sq = unpack_bipolar(q_desc)
+    sq_sub = jnp.pad(sq[:, ::_PF_STRIDE], ((0, Qp - Q), (0, 0)))
+    idx1, idx2 = _group_top2_pallas(sq_sub, st_sub, penrcol,
+                                    interpret=interpret)
+    cand = jnp.concatenate([idx1[:Q], idx2[:Q]], axis=1)     # (Q, 2G)
+
+    # ---- stage 2: exact 512-bit popcount re-rank of the survivors --------
+    safe = jnp.clip(cand, 0, T - 1)
+    cd = t_desc[safe]                                        # (Q, 2G, 16)
+    dist = jnp.sum(
+        jax.lax.population_count(jnp.bitwise_xor(cd, q_desc[:, None, :])),
+        axis=-1,
+    ).astype(jnp.int32)                                      # (Q, 2G)
+    ok = (cand >= 0) & (cand < T) & t_valid[safe]
+    dist = jnp.where(ok, dist, _RERANK_INVALID)
+    # packed re-rank key: distance-major, global-index tiebreak (lowest
+    # index wins — matches the brute-force kernel); keys are unique because
+    # candidate indices are unique (groups are disjoint, idx2 != idx1), so
+    # masking exactly the min and re-reducing yields CUDAK2NN duplicate
+    # semantics (a twin descriptor survives as second-best)
+    skey = dist * (_CAND_IDX_MASK + 1) + safe
+    k1 = jnp.min(skey, axis=1, keepdims=True)
+    k2 = jnp.min(jnp.where(skey == k1, jnp.int32(2 ** 30), skey), axis=1)
+    k1 = k1[:, 0]
+    best_idx = (k1 & _CAND_IDX_MASK).astype(jnp.int32)
+    best = k1 >> 20
+    second = k2 >> 20
+    best = jnp.where(best >= _RERANK_INVALID, _INVALID_DIST, best)
+    second = jnp.where(second >= _RERANK_INVALID, _INVALID_DIST, second)
+    best = jnp.where(q_valid, best, jnp.int32(_INVALID_DIST))
+    second = jnp.where(q_valid, second, jnp.int32(_INVALID_DIST))
+    return best_idx, best.astype(jnp.int32), second.astype(jnp.int32)

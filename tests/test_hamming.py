@@ -216,6 +216,109 @@ class TestResidentBank:
         np.testing.assert_array_equal(np.asarray(bs), np.asarray(xs))
 
 
+class TestTwoStage:
+    """Two-stage large-bank matcher (VERDICT r4 item 8): 128-bit group
+    prefilter + EXACT 512-bit re-rank of the survivors. The contract under
+    test: on matching-shaped banks (true matches sit well below the
+    background pool) the ACCEPTED matches — and the best index/distance of
+    every accepted match — equal the brute-force kernel's."""
+
+    def _matching_shaped(self, rng, Q, T, n_true=None):
+        """Bank of random descriptors where each query has one true match
+        (a few flipped bits from the query) planted at a random slot."""
+        qd = np.array(random_desc(rng, Q))
+        td = np.array(random_desc(rng, T))
+        n_true = Q if n_true is None else n_true
+        slots = rng.choice(T, size=n_true, replace=False)
+        for qi in range(n_true):
+            d = qd[qi].copy()
+            # flip ~40 random bits -> distance ~40 vs background ~256
+            for b in rng.integers(0, 512, 40):
+                d[b // 32] ^= np.uint32(1 << (b % 32))
+            td[slots[qi]] = d
+        return jnp.asarray(qd), jnp.asarray(td), slots
+
+    def test_accepted_set_equals_bruteforce_large_bank(self, rng):
+        """Exactness test at a 256k-slot bank (CPU: the kernel runs in
+        interpret mode over the real grid; the BANK is full 256k)."""
+        from coloc_tpu.matching import (
+            MapDB, match_with_map, pack_map_bank_twostage,
+        )
+        from coloc_tpu.types import Features
+
+        Q, T = 512, 262_144
+        qd, td, slots = self._matching_shaped(rng, Q, T)
+        qv = jnp.ones(Q, bool)
+        tv = jnp.asarray(rng.random(T) > 0.05)
+        mapdb = MapDB(X=jnp.zeros((T, 3)), desc=td, valid=tv)
+
+        # brute-force reference (XLA path — exact)
+        xi, xb, xs = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        # two-stage
+        bank2 = hamming.pack_bank_twostage(td, tv)
+        ti_, tb, ts = hamming.hamming_2nn_twostage(qd, qv, bank2,
+                                                   interpret=True)
+
+        # best retrieval: exact wherever the brute-force best is a genuine
+        # match (the planted low-distance hit)
+        xb_np, tb_np = np.asarray(xb), np.asarray(tb)
+        xi_np, ti_np = np.asarray(xi), np.asarray(ti_)
+        planted = xb_np < 128
+        assert planted.sum() >= Q * 0.9
+        np.testing.assert_array_equal(ti_np[planted], xi_np[planted])
+        np.testing.assert_array_equal(tb_np[planted], xb_np[planted])
+
+        # accept-set parity at the reference margin threshold (60): the
+        # margin denominator may be biased up by a few bits when the true
+        # global second hides outside the survivors, but decisions at the
+        # reference threshold must agree
+        opts = MatcherOptions()
+        acc_bf = (np.asarray(xs) - xb_np) > opts.margin_threshold
+        acc_ts = (np.asarray(ts) - tb_np) > opts.margin_threshold
+        np.testing.assert_array_equal(acc_ts, acc_bf)
+        # and through the public matching API
+        feats = Features(
+            xy=jnp.zeros((Q, 2)), score=jnp.ones(Q),
+            scale=jnp.zeros(Q, jnp.int32), angle=jnp.zeros(Q),
+            desc=qd, valid=qv,
+        )
+        m2 = match_with_map(feats, mapdb, opts,
+                            twostage_bank=pack_map_bank_twostage(mapdb))
+        np.testing.assert_array_equal(
+            np.asarray(m2.idx)[acc_bf], xi_np[acc_bf])
+
+    def test_duplicate_semantics_and_planted_retrieval(self, rng):
+        """Contract checks on a one-group bank: planted (true-match-shaped)
+        queries retrieve exactly the brute-force best with the exact
+        distance; a duplicated best descriptor leaves its twin as
+        second-best with the lowest-index tiebreak (CUDAK2NN semantics —
+        both twins share the 128-bit sub-distance, so both survive the
+        prefilter by construction). Queries with no planted match have a
+        best that is a random background row; its 128-bit rank is
+        uncorrelated with its 512-bit rank, so NO exactness is claimed
+        there — that is the documented contract boundary."""
+        Q, T = 64, 1024
+        qd, td, planted_slots = self._matching_shaped(rng, Q, T, n_true=32)
+        # plant a DUPLICATE of query 0's best so second-best = twin
+        td = np.array(td)
+        td[7] = td[100] = np.asarray(qd)[0]
+        td = jnp.asarray(td)
+        qv = jnp.ones(Q, bool)
+        tv = jnp.ones(T, bool)
+        xi, xb, xs = hamming.hamming_2nn_xla(qd, td, qv, tv)
+        bank2 = hamming.pack_bank_twostage(td, tv)
+        ti_, tb, ts = hamming.hamming_2nn_twostage(qd, qv, bank2,
+                                                   interpret=True)
+        has_match = np.asarray(xb) < 128    # query 0 (dup) + planted ones
+        assert has_match.sum() >= 32
+        np.testing.assert_array_equal(
+            np.asarray(ti_)[has_match], np.asarray(xi)[has_match])
+        np.testing.assert_array_equal(
+            np.asarray(tb)[has_match], np.asarray(xb)[has_match])
+        # duplicate: best = lowest-index twin, twin survives as second
+        assert int(ti_[0]) == 7 and int(tb[0]) == 0 and int(ts[0]) == 0
+
+
 class TestNFAOracle:
     def test_nfa_matches_bruteforce(self, rng):
         """nfa_scores must agree with a direct numpy evaluation of the
