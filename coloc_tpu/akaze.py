@@ -87,10 +87,11 @@ def detect_and_describe_akaze_batch(
     B = images.shape[0]
     k = opts.max_keypoints
     num_octaves = min(opts.num_levels // 2, 4) if opts.num_levels >= 4 else 2
-    num_sub = 4
+    num_sub = opts.akaze_sublevels
 
     levels = diffusion.build_scale_space_batch(
-        images, num_octaves=num_octaves, num_sublevels=num_sub
+        images, num_octaves=num_octaves, num_sublevels=num_sub,
+        tau_max=opts.akaze_fed_tau_max,
     )
 
     # --- detection: per-level threshold + NMS ------------------------------
@@ -260,6 +261,7 @@ def detect_and_describe_akaze_batch(
     desc = mldb.describe_mldb(
         sampler3, kp_x, kp_y, kp_sig, kp_angle,
         w_l, h_l, col0_eff, row0_local,
+        cell_samples=opts.akaze_cell_samples,
     )
 
     # --- base-resolution coordinates (octave upsampling) -------------------

@@ -33,6 +33,14 @@ class DetectorOptions:
     smoothing_radius: int = 2          # box pre-smooth for triplet sampling
     border: int = 16                   # full-res keep-out border (scaled per level, floor 8)
     backend: str = "trip"              # "trip" (KORAL-equivalent) | "akaze" (AKAZE-MLDB parity)
+    # AKAZE accuracy-vs-work frontier knobs (scripts/prof_akaze_frontier.py
+    # measures the trade; defaults = the reference NORMAL preset,
+    # AKAZE.hpp:14-80). Octave count rides num_levels (num_levels // 2,
+    # capped at 4 — so num_levels=6 gives 3 octaves).
+    akaze_sublevels: int = 4           # sublevels per octave
+    akaze_cell_samples: int = 4        # MLDB per-cell sample grid (n x n)
+    akaze_fed_tau_max: float = 0.25    # FED base step (0.25 = 2-D stability
+    #                                    bound; larger = fewer, coarser steps)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -386,6 +386,7 @@ def build_scale_space_batch(
     num_sublevels: int = 4,
     sigma0: float = 1.6,
     percentile: float = 70.0,
+    tau_max: float = 0.25,
 ) -> List[Evolution]:
     """Batched nonlinear scale space: (B, H, W) -> Evolution fields
     (B, h_o, w_o).
@@ -416,7 +417,7 @@ def build_scale_space_batch(
             t = 0.5 * sigma * sigma
             dt = max((t - t_prev) / grid_scale, 1e-4)
             sigmas.append(sigma)
-            cycles.append(tuple(fed_tau_cycle(dt)))
+            cycles.append(tuple(fed_tau_cycle(dt, tau_max)))
             t_prev = t
 
         h, w = L.shape[1:]

@@ -108,10 +108,16 @@ def orientation(
     return jnp.arctan2(by, bx)
 
 
-def _grid_cells():
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _grid_cells(cell_samples: int = _CELL_SAMPLES):
     """Static sample layout: per grid {2,3,4}, per cell, per sample point ->
     normalized patch coords in [-1, 1]. Returns (coords (N,2), cell_id (N,),
-    pair tables per grid)."""
+    pair tables per grid). `cell_samples` is the per-cell n x n sample grid
+    (4 = the dense default; 3/2 trade descriptor robustness for a smaller
+    sampling matmul — see scripts/prof_akaze_frontier.py)."""
     coords, cell_of = [], []
     cell_base = 0
     grids = []
@@ -121,10 +127,10 @@ def _grid_cells():
             for cx in range(g):
                 cid = cell_base + cy * g + cx
                 cells_this.append(cid)
-                for iy in range(_CELL_SAMPLES):
-                    for ix in range(_CELL_SAMPLES):
-                        u = (cx + (ix + 0.5) / _CELL_SAMPLES) / g * 2 - 1
-                        v = (cy + (iy + 0.5) / _CELL_SAMPLES) / g * 2 - 1
+                for iy in range(cell_samples):
+                    for ix in range(cell_samples):
+                        u = (cx + (ix + 0.5) / cell_samples) / g * 2 - 1
+                        v = (cy + (iy + 0.5) / cell_samples) / g * 2 - 1
                         coords.append((u, v))
                         cell_of.append(cid)
         pairs = []
@@ -149,8 +155,10 @@ def describe_mldb(
     sampler,                     # (lx, ly) -> (3, K, NS) L/Lx/Ly samples
     kp_x, kp_y, kp_sigma_px, kp_angle,
     w_l, h_l, col0, row0_local,
+    cell_samples: int = _CELL_SAMPLES,
 ) -> jnp.ndarray:
     """-> (K, 16) uint32: 486 MLDB bits + 26 zero padding bits."""
+    _COORDS, _CELL_OF, _PAIRS, _NUM_CELLS = _grid_cells(cell_samples)
     coords = jnp.asarray(_COORDS)                       # (N, 2) in [-1,1]
     ca, sa = jnp.cos(kp_angle), jnp.sin(kp_angle)
 
