@@ -346,31 +346,43 @@ _CAND_IDX_MASK = (1 << 20) - 1   # candidate index field in the rerank key
 _RERANK_INVALID = 600            # > any real distance, keeps keys in int32
 
 
-def _k2nn_group_kernel(q_ref, t_ref, penrcol_ref, idx1_ref, idx2_ref):
-    """Grid = (Q/TQ, G): per (query tile, group) write the group-local
+def _make_k2nn_group_kernel(G: int):
+    """Grid = (Q/TQ, G): per (query tile, group) record the group-local
     best and second-best candidate GLOBAL indices (128-bit dot space,
-    packed-key argmax — same trick as _k2nn_kernel, no accumulation)."""
-    gi = pl.program_id(1)
-    dot = jax.lax.dot_general(
-        q_ref[:], t_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    key = (dot << 16) + penrcol_ref[:]
-    kmax = jnp.max(key, axis=1, keepdims=True)
-    masked = jnp.where(key == kmax, _MIN_KEY, key)
-    kmax2 = jnp.max(masked, axis=1, keepdims=True)
-    base = gi * _GROUP
-    idx1_ref[:] = (_GROUP - 1) - (kmax & 65535) + base
-    idx2_ref[:] = (_GROUP - 1) - (kmax2 & 65535) + base
+    packed-key argmax — same trick as _k2nn_kernel). The (TQ, G) output
+    blocks stay VMEM-resident across the gi-fastest grid walk (index map
+    pins them to (qi, 0) — Mosaic forbids lane-dim-1 blocks), and each
+    step one-hot-writes its own column; every column is written exactly
+    once before the block flushes at the qi roll-over."""
+
+    def kernel(q_ref, t_ref, penrcol_ref, idx1_ref, idx2_ref):
+        gi = pl.program_id(1)
+        dot = jax.lax.dot_general(
+            q_ref[:], t_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        key = (dot << 16) + penrcol_ref[:]
+        kmax = jnp.max(key, axis=1, keepdims=True)
+        masked = jnp.where(key == kmax, _MIN_KEY, key)
+        kmax2 = jnp.max(masked, axis=1, keepdims=True)
+        base = gi * _GROUP
+        i1 = (_GROUP - 1) - (kmax & 65535) + base        # (TQ, 1)
+        i2 = (_GROUP - 1) - (kmax2 & 65535) + base
+        col = jax.lax.broadcasted_iota(jnp.int32, (_TQ, G), 1) == gi
+        idx1_ref[:] = jnp.where(col, i1, idx1_ref[:])
+        idx2_ref[:] = jnp.where(col, i2, idx2_ref[:])
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _group_top2_pallas(sq_sub, st_sub, penrcol, interpret=False):
     Qp, Tp = sq_sub.shape[0], st_sub.shape[0]
-    grid = (Qp // _TQ, Tp // _GROUP)
+    G = Tp // _GROUP
+    grid = (Qp // _TQ, G)
     idx1, idx2 = pl.pallas_call(
-        _k2nn_group_kernel,
+        _make_k2nn_group_kernel(G),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TQ, _PF_BITS), lambda qi, gi: (qi, 0),
@@ -381,18 +393,18 @@ def _group_top2_pallas(sq_sub, st_sub, penrcol, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_TQ, 1), lambda qi, gi: (qi, gi),
+            pl.BlockSpec((_TQ, G), lambda qi, gi: (qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TQ, 1), lambda qi, gi: (qi, gi),
+            pl.BlockSpec((_TQ, G), lambda qi, gi: (qi, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Qp, Tp // _GROUP), jnp.int32),
-            jax.ShapeDtypeStruct((Qp, Tp // _GROUP), jnp.int32),
+            jax.ShapeDtypeStruct((Qp, G), jnp.int32),
+            jax.ShapeDtypeStruct((Qp, G), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Qp * Tp * _PF_BITS,
-            bytes_accessed=(Qp + Tp) * _PF_BITS + Qp * (Tp // _GROUP) * 8,
+            bytes_accessed=(Qp + Tp) * _PF_BITS + Qp * G * 8,
             transcendentals=0,
         ),
         interpret=interpret,
