@@ -88,6 +88,20 @@ def detect_and_describe_akaze_batch(
     k = opts.max_keypoints
     num_octaves = min(opts.num_levels // 2, 4) if opts.num_levels >= 4 else 2
     num_sub = opts.akaze_sublevels
+    # knob validation: the orientation sampler's 48-row window covers a
+    # 6*sigma disc only while the max LEVEL-LOCAL sigma stays <= 17/6 px;
+    # sigma_local max = sigma0 * 2^((n-1)/n), which crosses that bound at
+    # n = 6 (2.85 * 6 = 17.1 px). cell_samples must give a non-empty table.
+    if not 1 <= num_sub <= 5:
+        raise ValueError(
+            f"akaze_sublevels must be in [1, 5] (got {num_sub}); >= 6 "
+            "violates the orientation window margin (see sampler2 note)"
+        )
+    if not 1 <= opts.akaze_cell_samples <= 8:
+        raise ValueError(
+            f"akaze_cell_samples must be in [1, 8] "
+            f"(got {opts.akaze_cell_samples})"
+        )
 
     levels = diffusion.build_scale_space_batch(
         images, num_octaves=num_octaves, num_sublevels=num_sub,

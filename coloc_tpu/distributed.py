@@ -79,7 +79,7 @@ class DronePeer:
         out_dir: str = "",
         seed: Optional[int] = None,
         bundle_depth: int = 2,
-        bundle_max_age: Optional[float] = 30.0,
+        bundle_max_age: Optional[float] = 60.0,
     ):
         self.drone = int(drone)
         self.config = config
@@ -89,8 +89,11 @@ class DronePeer:
         # queue — or predates a broker restart — past this window describes
         # a pose the sender has long since moved away from, so fusing it
         # would inject a phantom relative constraint. None disables the
-        # gate. Peers are assumed roughly NTP-synced (same assumption ROS
-        # header stamps make).
+        # gate. The 60 s default rides out a peer's first-launch jit warmup
+        # (run_peer's re-offer loop keeps republishing FRESH bundles, so
+        # live peers are never gated — only bundles whose sender stopped
+        # offering). Peers are assumed roughly NTP-synced (same assumption
+        # ROS header stamps make).
         self.bundle_max_age = bundle_max_age
         # local session: one drone, the shared map injected (no bootstrap)
         cfg1 = dataclasses.replace(config, num_drones=1)
@@ -286,14 +289,19 @@ class DronePeer:
             omega=out.diag.omega, trace=out.diag.trace,
         )
         if publish and self.node is not None:
-            self.node.publish(
-                transport.pose_topic(self.drone),
-                transport.encode_pose(
-                    self.drone, self.frame - 1, time.time(),
-                    np.asarray(fused.pos), cov3=np.asarray(fused.cov),
-                    success=True,
-                ),
-            )
+            try:
+                self.node.publish(
+                    transport.pose_topic(self.drone),
+                    transport.encode_pose(
+                        self.drone, self.frame - 1, time.time(),
+                        np.asarray(fused.pos), cov3=np.asarray(fused.cov),
+                        success=True,
+                    ),
+                )
+            except OSError:
+                # the FUSION is the product; the pose topic is telemetry —
+                # a bus outage here must not discard a computed result
+                pass
         return fused
 
     # ---------------------------------------------------------------- admin

@@ -160,13 +160,18 @@ class Node:
         # fresh create_string_buffer per call zero-fills max_bytes (16 MB
         # default) on EVERY 0.1 s poll timeout.
         self._tls = threading.local()
-        self._subs: dict = {}          # topic -> depth, for resubscribe
+        # topic -> depth, replayed on reconnect; mutations hold _conn_lock
+        # (reconnect's replay loop iterates a snapshot under the same lock,
+        # so a concurrent subscribe_peer can never resize it mid-iteration)
+        self._subs: dict = {}
         self._conn_lock = threading.Lock()
         self._gen = 0                  # bumped on every successful redial
-        # old handles are NOT freed at reconnect time: another thread may
-        # still be blocked inside coloc_node_receive on one (close would be
-        # use-after-free). They hold a dead fd + small struct each and are
-        # reaped in close().
+        # old handles are NEVER freed: a thread may be blocked inside
+        # coloc_node_receive on one at ANY later point (including during
+        # close()), and coloc_node_close frees the struct under it. A dead
+        # handle holds one closed fd + a small struct; reconnects are rare
+        # events, so the deliberate leak is bounded and safe. Kept only for
+        # accounting/debugging.
         self._dead_handles: list = []
 
     def _recv_buf(self, max_bytes: int):
@@ -196,7 +201,7 @@ class Node:
                 if h:
                     self._dead_handles.append(self._handle)
                     self._handle = h
-                    for topic, depth in self._subs.items():
+                    for topic, depth in list(self._subs.items()):
                         self._lib.coloc_node_subscribe(
                             self._handle, topic.encode(), depth)
                     self._gen += 1
@@ -223,11 +228,13 @@ class Node:
                                             depth)
         if rc != 0:
             raise OSError(f"subscribe to {topic!r} failed")
-        self._subs[topic] = depth
+        with self._conn_lock:
+            self._subs[topic] = depth
 
     def unsubscribe(self, topic: str) -> None:
         self._lib.coloc_node_unsubscribe(self._handle, topic.encode())
-        self._subs.pop(topic, None)
+        with self._conn_lock:
+            self._subs.pop(topic, None)
 
     def receive(self, topic: str, timeout: float = 1.0,
                 max_bytes: int = 16 << 20) -> Optional[bytes]:
@@ -261,8 +268,9 @@ class Node:
             if self._handle:
                 self._lib.coloc_node_close(self._handle)
                 self._handle = None
-            for h in self._dead_handles:
-                self._lib.coloc_node_close(h)
+            # dead (pre-reconnect) handles stay allocated on purpose — see
+            # the __init__ comment; freeing them here would race a thread
+            # still blocked in coloc_node_receive on one
             self._dead_handles = []
 
     def __enter__(self):

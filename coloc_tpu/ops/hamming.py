@@ -417,11 +417,37 @@ def pack_bank_twostage(t_desc: jnp.ndarray, t_valid: jnp.ndarray):
     penalty row + the PACKED full descriptors (stage 2 gathers these) +
     validity. Groups pad to _GROUP multiples with invalid rows."""
     T = t_desc.shape[0]
+    if T > _CAND_IDX_MASK + 1:
+        # the re-rank key packs the candidate index into 20 bits; a larger
+        # bank would silently bleed indices into the distance field
+        raise ValueError(
+            f"two-stage bank capped at {_CAND_IDX_MASK + 1} rows (got {T});"
+            " shard the bank (parallel.mesh.sharded_map_match) instead"
+        )
     Tp = _round_up(T, _GROUP)
     st = unpack_bipolar(t_desc)                     # (T, 512) int8
     st_sub = jnp.pad(st[:, ::_PF_STRIDE], ((0, Tp - T), (0, 0)))
     penrcol = _penrcol_row(t_valid, Tp)
     return st_sub, penrcol, t_desc, t_valid, T
+
+
+def _group_top2_xla(sq_sub, st_sub, penrcol):
+    """XLA fallback for the group prefilter (off-TPU / COLOC_TPU_PALLAS=0):
+    same packed-key semantics as the Pallas kernel, one (Q, G, group)
+    reshape + top-2."""
+    Qp, Tp = sq_sub.shape[0], st_sub.shape[0]
+    G = Tp // _GROUP
+    dot = jnp.dot(
+        sq_sub.astype(jnp.float32), st_sub.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    key = (dot << 16) + penrcol
+    key = key.reshape(Qp, G, _GROUP)
+    top2, _ = jax.lax.top_k(key, 2)                 # (Qp, G, 2)
+    base = jnp.arange(G, dtype=jnp.int32)[None, :] * _GROUP
+    idx1 = (_GROUP - 1) - (top2[:, :, 0] & 65535) + base
+    idx2 = (_GROUP - 1) - (top2[:, :, 1] & 65535) + base
+    return idx1, idx2
 
 
 def hamming_2nn_twostage(
@@ -441,8 +467,12 @@ def hamming_2nn_twostage(
     # ---- stage 1: group-local top-2 at 128 prefilter bits (MXU) ----------
     sq = unpack_bipolar(q_desc)
     sq_sub = jnp.pad(sq[:, ::_PF_STRIDE], ((0, Qp - Q), (0, 0)))
-    idx1, idx2 = _group_top2_pallas(sq_sub, st_sub, penrcol,
-                                    interpret=interpret)
+    if use_pallas() or interpret:
+        idx1, idx2 = _group_top2_pallas(sq_sub, st_sub, penrcol,
+                                        interpret=interpret)
+    else:
+        # off-TPU / COLOC_TPU_PALLAS=0: bit-identical XLA formulation
+        idx1, idx2 = _group_top2_xla(sq_sub, st_sub, penrcol)
     cand = jnp.concatenate([idx1[:Q], idx2[:Q]], axis=1)     # (Q, 2G)
 
     # ---- stage 2: exact 512-bit popcount re-rank of the survivors --------

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -108,10 +110,7 @@ def orientation(
     return jnp.arctan2(by, bx)
 
 
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
 def _grid_cells(cell_samples: int = _CELL_SAMPLES):
     """Static sample layout: per grid {2,3,4}, per cell, per sample point ->
     normalized patch coords in [-1, 1]. Returns (coords (N,2), cell_id (N,),
@@ -148,9 +147,6 @@ def _grid_cells(cell_samples: int = _CELL_SAMPLES):
     )
 
 
-_COORDS, _CELL_OF, _PAIRS, _NUM_CELLS = _grid_cells()
-
-
 def describe_mldb(
     sampler,                     # (lx, ly) -> (3, K, NS) L/Lx/Ly samples
     kp_x, kp_y, kp_sigma_px, kp_angle,
@@ -158,6 +154,8 @@ def describe_mldb(
     cell_samples: int = _CELL_SAMPLES,
 ) -> jnp.ndarray:
     """-> (K, 16) uint32: 486 MLDB bits + 26 zero padding bits."""
+    # ONE source of truth for the sample layout: the lru_cached per-
+    # cell_samples tables (no module-level copies to drift from)
     _COORDS, _CELL_OF, _PAIRS, _NUM_CELLS = _grid_cells(cell_samples)
     coords = jnp.asarray(_COORDS)                       # (N, 2) in [-1,1]
     ca, sa = jnp.cos(kp_angle), jnp.sin(kp_angle)

@@ -175,7 +175,7 @@ def main():
             # sampler3 call alone (rotated grid coords + kernel), no steering
             # / cell means / bit packing; fixed angle stands in for the
             # orientation result
-            coords = jnp.asarray(mldb._COORDS)
+            coords = jnp.asarray(mldb._grid_cells()[0])
             ang = jnp.zeros_like(kp_x) + 0.3
             ca, sa = jnp.cos(ang), jnp.sin(ang)
             half = mldb._PATCH_HALF * kp_sig
