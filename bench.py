@@ -25,6 +25,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache (same default as cli.py/serve.py;
+    # COLOC_COMPILE_CACHE=0 opts out): the bench's many jit graphs compile
+    # once per machine, not once per run — 'compile=' lines report the warm
+    # cost on a cache hit
+    from coloc_tpu import compile_cache
+
+    compile_cache.enable()
+
     small = os.environ.get("COLOC_BENCH_SMALL", "0") == "1"
     # 500 iterations: each jit EXECUTION through the remote-TPU tunnel carries
     # ~31 ms of fixed round-trip latency (measured; independent of the work
@@ -122,6 +130,22 @@ def main():
             return (k2, img_next)
         return jax.lax.fori_loop(0, iters, body, (key, image))
 
+    # chunked variant of the SAME chained headline loop for latency
+    # percentiles: C ops per dispatch, carry fed back across dispatches so
+    # no call can be deduped/hoisted; each dispatch's wall time / C is one
+    # per-op latency sample (BASELINE metric "p50 per-frame pose latency")
+    chunk = max(1, min(25, iters))
+
+    @jax.jit
+    def loop_chunk(key, desc0):
+        def body(i, carry):
+            k, desc = carry
+            k1, k2 = jax.random.split(k)
+            pwc = match_localize_op(k1, feats0._replace(desc=desc))
+            zero = jnp.where(pwc.pose.C[0] < 1e30, 0, 1).astype(jnp.uint32)
+            return (k2, feats0.desc ^ zero)
+        return jax.lax.fori_loop(0, chunk, body, (key, desc0))
+
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     out = jax.block_until_ready(loop(key, feats0.desc))
@@ -136,12 +160,26 @@ def main():
     out2 = jax.block_until_ready(loop_full(key, img))
     dt_full = (time.time() - t0) / iters
 
+    # per-op latency distribution over chained chunks
+    n_chunks = max(8, iters // chunk)
+    carry = jax.block_until_ready(loop_chunk(key, feats0.desc))  # warm
+    samples = []
+    for _ in range(n_chunks):
+        t0 = time.time()
+        carry = jax.block_until_ready(loop_chunk(*carry))
+        samples.append((time.time() - t0) / chunk)
+    lat = np.sort(np.asarray(samples)) * 1e3  # ms per op
+    p50 = float(np.percentile(lat, 50))
+    p99 = float(np.percentile(lat, 99))
+
     ops_per_sec = 1.0 / dt
     result = {
         "metric": "frame-pair match+localize ops/sec/chip",
         "value": round(ops_per_sec, 2),
         "unit": "ops/s",
         "vs_baseline": round(ops_per_sec / 500.0, 4),
+        "p50_ms": round(p50, 4),
+        "p99_ms": round(p99, 4),
     }
     print(json.dumps(result))
     # extra context on stderr (driver reads only the stdout JSON line)
@@ -155,6 +193,12 @@ def main():
         f"({1 / dt_full:.1f} ops/s)",
         file=sys.stderr,
     )
+    print(
+        f"# latency headline (per-op over {n_chunks} chained chunks of "
+        f"{chunk}): p50={p50:.3f}ms p99={p99:.3f}ms "
+        f"(chunk dispatch RTT amortized /{chunk})",
+        file=sys.stderr,
+    )
 
     if not small and os.environ.get("COLOC_BENCH_CAPACITY", "1") == "1":
         _bench_capacity(cam, img, iters)
@@ -164,20 +208,39 @@ def main():
         _bench_batched_serving(config, cam, mapdb, feats0, iters)
     if not small and os.environ.get("COLOC_BENCH_AKAZE", "1") == "1":
         _bench_akaze(scene, img, cam, iters)
+    config_akaze = ColocConfig(
+        detector=DetectorOptions(
+            width=w, height=h, max_keypoints=kp, num_levels=levels,
+            backend="akaze",
+        ),
+        matcher=MatcherOptions(mode="ratio"),
+        max_landmarks=landmarks,
+    )
     if not small and os.environ.get("COLOC_BENCH_SESSION", "1") == "1":
         _bench_chained_session(config, cam, iters)
     if not small and os.environ.get("COLOC_BENCH_AKAZE_SESSION", "1") == "1":
         # the same chained 2-drone session with the reference's DEFAULT
         # (CPU/AKAZE) detector configuration (VERDICT r3 item 3)
-        config_akaze = ColocConfig(
-            detector=DetectorOptions(
-                width=w, height=h, max_keypoints=kp, num_levels=levels,
-                backend="akaze",
-            ),
-            matcher=MatcherOptions(mode="ratio"),
-            max_landmarks=landmarks,
-        )
         _bench_chained_session(config_akaze, cam, iters, label="akaze ")
+    if not small and os.environ.get("COLOC_BENCH_DSCALE", "1") == "1":
+        # D-scaling (VERDICT r4 item 4): the all-drones batched session step
+        # at D=4 and D=8 on ONE chip, both backends — substantiates the
+        # "one kernel per stage for all drones" batching claim
+        # (session.py:55-58) against the reference's sequential drone loop
+        # (coloc.hpp:128-148). Compile time and ms/drone are in each line.
+        import dataclasses as dc
+
+        for D in (4, 8):
+            _bench_chained_session(
+                dc.replace(config, num_drones=D), cam, iters,
+                heading="D-scaling[trip chained session",
+            )
+        for D in (4, 8):
+            _bench_chained_session(
+                dc.replace(config_akaze, num_drones=D), cam,
+                max(64, iters // 4),
+                heading="D-scaling[akaze chained session",
+            )
     if os.environ.get("COLOC_BENCH_CONFIGS", "0") == "1":
         _bench_baseline_configs(config, cam, mapdb, img, feats0, iters)
     if os.environ.get("COLOC_BENCH_ACCURACY", "0") == "1":
@@ -332,19 +395,28 @@ def _bench_map_scaling(config, cam, feats0, iters):
 
     key = jax.random.PRNGKey(0)
     lines = []
-    for landmarks in (16384, 65536):
+    for landmarks, twostage in ((16384, False), (65536, False),
+                                (262144, False), (262144, True)):
         mapdb = synth.consistent_mapdb(
             feats0, np.asarray(cam.K), landmarks, rng
         )
-        bank = pack_map_bank(mapdb)
+        if twostage:
+            from coloc_tpu.matching import pack_map_bank_twostage
+
+            ts_bank = pack_map_bank_twostage(mapdb)
+            bank = None
+        else:
+            bank = pack_map_bank(mapdb)
+            ts_bank = None
 
         @jax.jit
-        def loop(key, desc0, mapdb=mapdb, bank=bank):
+        def loop(key, desc0, mapdb=mapdb, bank=bank, ts_bank=ts_bank):
             def body(i, carry):
                 k, desc = carry
                 k1, k2 = jax.random.split(k)
                 f = feats0._replace(desc=desc)
-                mm = match_with_map(f, mapdb, config.matcher, bank=bank)
+                mm = match_with_map(f, mapdb, config.matcher, bank=bank,
+                                    twostage_bank=ts_bank)
                 pwc, _ = localize.localize_image(
                     k1, f, mm, mapdb, cam, config.ransac, config.refiner
                 )
@@ -356,7 +428,9 @@ def _bench_map_scaling(config, cam, feats0, iters):
         t0 = time.time()
         jax.block_until_ready(loop(key, feats0.desc))
         dt = (time.time() - t0) / iters
-        lines.append(f"map={landmarks}: {dt * 1e3:.2f}ms ({1 / dt:.1f} ops/s)")
+        tag = " two-stage" if twostage else ""
+        lines.append(
+            f"map={landmarks}{tag}: {dt * 1e3:.2f}ms ({1 / dt:.1f} ops/s)")
     print(
         f"# map scaling kp={kp} (reference map cap: 5000): "
         + "; ".join(lines), file=sys.stderr,
@@ -430,14 +504,57 @@ def _bench_batched_serving(config, cam, mapdb, feats0, iters):
         file=sys.stderr,
     )
 
+    # per-DISPATCH latency percentiles at one representative batch: each
+    # sample is a full single-step round trip (what a serving client sees,
+    # including dispatch/RTT overhead — through the remote bench tunnel that
+    # overhead is ~31 ms flat; on a local TPU host it is ~the step time).
+    # The desc carry feeds each dispatch from the previous one's output so
+    # dispatches cannot be deduped or pipelined past each other.
+    Bp = 16
 
-def _bench_chained_session(config, cam, iters, label=""):
-    """BASELINE config 5 as a DEVICE-RESIDENT number: a real 2-drone session
+    @jax.jit
+    def one_step(key, desc_b):
+        k1, k2 = jax.random.split(key)
+        feats_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (Bp,) + x.shape), feats0
+        )._replace(desc=desc_b)
+        pwcs, _, _ = step(k1, feats_b, mapdb, bank)
+        zeros = jnp.where(pwcs.pose.C[:, 0] < 1e30, 0, 1).astype(jnp.uint32)
+        desc_next = (jnp.broadcast_to(feats0.desc, desc_b.shape)
+                     ^ zeros[:, None, None])
+        return k2, desc_next, pwcs.success
+
+    desc_b0 = jnp.broadcast_to(
+        feats0.desc, (Bp,) + feats0.desc.shape).copy()
+    k = key
+    k, desc_b, _ = one_step(k, desc_b0)
+    jax.block_until_ready(desc_b)  # warm
+    n_disp = int(os.environ.get("COLOC_BENCH_DISPATCHES", "100"))
+    samples = []
+    for _ in range(n_disp):
+        t0 = time.time()
+        k, desc_b, succ = one_step(k, desc_b)
+        jax.block_until_ready(succ)
+        samples.append(time.time() - t0)
+    lat = np.sort(np.asarray(samples)) * 1e3
+    print(
+        f"# serving per-dispatch latency B={Bp} ({n_disp} dispatches, "
+        f"blocking each): p50={np.percentile(lat, 50):.2f}ms "
+        f"p99={np.percentile(lat, 99):.2f}ms "
+        f"(includes host dispatch/tunnel RTT)",
+        file=sys.stderr,
+    )
+
+
+def _bench_chained_session(config, cam, iters, label="", heading=None):
+    """BASELINE config 5 as a DEVICE-RESIDENT number: a real D-drone session
     (bootstrap map from rendered frames, then the steady-state loop) stepped
     in lax.scan chunks with the KF bank carried on device
     (session.intra_pose_chunk). One dispatch per F-frame chunk, so the
     remote-tunnel RTT amortizes to RTT/(F*D) per op and the printed rate is
-    the actual end-to-end system rate (VERDICT r2 item 2). Stderr only."""
+    the actual end-to-end system rate (VERDICT r2 item 2). D comes from
+    config.num_drones (the batched drone axis: one kernel per stage for ALL
+    drones, session.py). Stderr only."""
     import sys
     import time
 
@@ -447,17 +564,35 @@ def _bench_chained_session(config, cam, iters, label=""):
     from coloc_tpu.io import synthetic
     from coloc_tpu.session import ColocSession
 
+    D = config.num_drones
     h = int(2 * float(cam.cy))
     w = int(2 * float(cam.cx))
     Kmat = np.asarray(cam.K)
     scn = synthetic.make_scene(h, w, Kmat, seed=2)
     frames = {}
-    for d in range(2):
+    for d in range(D):
         Rs, Cs = synthetic.trajectory(4, d)
         frames[d] = [synthetic.render(scn, Rs[f], Cs[f]) for f in range(4)]
-    sess = ColocSession(config, np.stack([Kmat] * 2),
-                        np.zeros((2, 3), np.float32))
-    if not sess.init_map({0: frames[0][0], 1: frames[1][0]}):
+    sess = ColocSession(config, np.stack([Kmat] * D),
+                        np.zeros((D, 3), np.float32))
+    if D <= 2:
+        boot = sess.init_map({d: frames[d][0] for d in range(D)})
+    else:
+        # D-scaling sections measure the STEADY-STATE batched step, not
+        # bootstrap quality: share the 2-drone two-view bootstrap map across
+        # the fleet (drones 2..D-1 follow parallel offset trajectories over
+        # the same scene, so the map covers their views too)
+        import dataclasses as dc
+
+        cfg2 = dc.replace(config, num_drones=2)
+        sess2 = ColocSession(cfg2, np.stack([Kmat] * 2),
+                             np.zeros((2, 3), np.float32))
+        boot = sess2.init_map({0: frames[0][0], 1: frames[1][0]})
+        if boot:
+            sess.scene = sess2.scene
+            sess.mapdb = sess2.mapdb
+            sess.map_ready = True
+    if not boot:
         print(f"# config[5b {label}chained session]: bootstrap failed",
               file=sys.stderr)
         return
@@ -469,12 +604,10 @@ def _bench_chained_session(config, cam, iters, label=""):
     # ~1.4 s/chunk and buries the device graph (a local TPU host pays ~2 ms
     # PCIe for the same upload; the session streams frames either way)
     block = jnp.asarray(np.stack(
-        [[frames[d][1 + (i % 3)] for d in range(2)] for i in range(F)]
+        [[frames[d][1 + (i % 3)] for d in range(D)] for i in range(F)]
     ))
     block.block_until_ready()
     sess.frame = 1
-    res = sess.intra_pose_chunk(block)  # compile + warm the session path
-    n_ok = sum(int(bool(res[d][-1].success)) for d in (0, 1))
 
     # Time the chained step function itself with the KF carry fed back on
     # device: ONE dispatch per F-frame chunk and no per-frame result
@@ -484,29 +617,35 @@ def _bench_chained_session(config, cam, iters, label=""):
     # dispatch overhead; the honest system rate is the device program.)
     chain = sess._fused_intra_scan()
     bank_st, bank_pen, _ = sess._map_bank()
-    reps = max(2, iters // (F * 2))
-    keys = jax.random.split(jax.random.PRNGKey(0), reps * F * 2).reshape(
-        reps, F, 2, -1
+    reps = max(2, iters // (F * D))
+    keys = jax.random.split(jax.random.PRNGKey(0), reps * F * D).reshape(
+        reps, F, D, -1
     )
     mdb = sess.mapdb
     sess._ensure_support()
     state = (sess.filter_bank.x, sess.filter_bank.P, sess.filter_bank.steps,
              sess.lm_support, sess.lm_last_seen, jnp.int32(sess.frame))
-    carry, _ = chain(keys[0], block, mdb.X, mdb.desc, mdb.valid, bank_st,
-                     bank_pen, sess.Ks, sess.dists, *state)
+    t0 = time.time()
+    carry, outs = chain(keys[0], block, mdb.X, mdb.desc, mdb.valid, bank_st,
+                        bank_pen, sess.Ks, sess.dists, *state)
     jax.block_until_ready(carry)
+    compile_s = time.time() - t0
+    # health: how many drones localized on the final scanned frame
+    n_ok = int(np.asarray(outs[0].success)[-1].sum())
     t0 = time.time()
     state = carry
     for r in range(reps):
         state, _ = chain(keys[r], block, mdb.X, mdb.desc, mdb.valid,
                          bank_st, bank_pen, sess.Ks, sess.dists, *state)
     jax.block_until_ready(state)
-    dt = (time.time() - t0) / (reps * F * 2)
+    dt = (time.time() - t0) / (reps * F * D)
     print(
-        f"# config[5b {label}chained session, lax.scan x{F} frames, "
-        f"device-resident"
+        f"# {heading or f'config[5b {label}chained session'}"
+        f", lax.scan x{F} frames, D={D} batched drone axis, device-resident"
         f" KF carry]: {dt * 1e3:.2f} ms/op = {1 / dt:.1f} ops/s "
-        f"({reps} chunks; {n_ok}/2 drones localized on the final frame)",
+        f"(= {dt * D * 1e3:.2f} ms/frame-step for all {D} drones; "
+        f"chain compile+warm {compile_s:.1f}s; "
+        f"{reps} chunks; {n_ok}/{D} drones localized on the final frame)",
         file=sys.stderr,
     )
 
@@ -621,6 +760,39 @@ def _bench_akaze(scene, img, cam, iters):
         f"# akaze full-pipeline kp={kp} map={L}: {dt_full * 1e3:.2f}ms "
         f"({1 / dt_full:.1f} ops/s); localize success={bool(pwc1.success)} "
         f"inliers={int(pwc1.n_tracks)}",
+        file=sys.stderr,
+    )
+
+    # akaze frontier (VERDICT r4 item 2; full sweep + parity gates in
+    # scripts/prof_akaze_frontier.py): at kp=5000 the detect cost is
+    # per-keypoint-DMA-bound and FLAT across every work lever (octaves,
+    # sublevels, MLDB samples, FED tau: 4.9-5.3 ms — the NORMAL point is
+    # Pareto-flat within 8%); capacity is the lever that moves it. The
+    # chosen fast preset o3.s3.cs3 at kp=1024 clears >=400 fps within all
+    # parity gates (sweep: 403.5 fps, rot err 0.046 deg, loc 100%).
+    fast_opts = DetectorOptions(
+        width=w, height=h, max_keypoints=1024, num_levels=6,
+        backend="akaze", akaze_sublevels=3, akaze_cell_samples=3,
+    )
+
+    @jax.jit
+    def loop_fast(x):
+        def body(i, c):
+            f = detect_and_describe(c, fast_opts)
+            live = (f.score.sum() + f.xy.sum()
+                    + f.desc.astype(jnp.float32).sum())
+            return jimg + live * 1e-12
+        return jax.lax.fori_loop(0, it, body, x)
+
+    jax.block_until_ready(loop_fast(jimg))
+    t0 = time.time()
+    jax.block_until_ready(loop_fast(jimg))
+    dt_fast = (time.time() - t0) / it
+    print(
+        f"# akaze frontier: fast preset o3.s3.cs3 kp=1024: "
+        f"{dt_fast * 1e3:.2f}ms ({1 / dt_fast:.1f} fps); kp=5000 detect is "
+        f"DMA-bound (flat 4.9-5.3ms over all work levers — "
+        f"scripts/prof_akaze_frontier.py)",
         file=sys.stderr,
     )
 

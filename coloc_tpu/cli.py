@@ -103,6 +103,12 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent XLA compile cache, on by default (COLOC_COMPILE_CACHE=0
+    # to opt out) — repeat launches skip the tens-of-seconds jit warmup
+    from coloc_tpu import compile_cache
+
+    compile_cache.enable()
+
     from coloc_tpu.config import ColocConfig, DetectorOptions
     from coloc_tpu.io import disk, synthetic
     from coloc_tpu.session import ColocSession

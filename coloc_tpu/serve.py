@@ -136,8 +136,12 @@ class ServeRunner:
 def main(argv=None) -> int:
     import argparse
 
-    from . import checkpoint
+    from . import checkpoint, compile_cache
     from .io import disk
+
+    # persistent XLA compile cache, on by default (COLOC_COMPILE_CACHE=0
+    # to opt out) — a serving relaunch reuses the compiled runner graphs
+    compile_cache.enable()
 
     ap = argparse.ArgumentParser(
         description="Serve B robot streams against a resident map "
