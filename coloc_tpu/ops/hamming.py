@@ -327,6 +327,17 @@ def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # distances (CUDAK2NN margin semantics intact on the survivors:
 # lowest-index best, duplicate descriptors leave their twin as second).
 #
+# MEASURED NEGATIVE RESULT (round 5, v5e, kp=1024 x 262144 bank): the
+# two-stage full op costs 5.61 ms vs 1.24 ms BRUTE FORCE — the v5e MXU
+# runs the full 512-bit distance matrix faster than stage 2 can gather
+# 2G candidate rows per query (XLA row-gather from a 260k-row HBM table
+# is the dominant cost; the prefilter matmul itself is ~0.3 ms-class).
+# Brute force therefore stays the default at every bench size and
+# sharding (parallel.mesh.sharded_map_match) remains the recommended
+# scale-out; this path is kept as the measured prototype + exactness
+# harness for gather-friendlier hardware or banks too large for one
+# chip's brute-force budget.
+#
 # Contract (documented approximation): the best match is retrieved exactly
 # whenever its group-local 128-bit rank is <= 2 — for matching-shaped data
 # (a true match sits tens of bits below the background pool) this is
