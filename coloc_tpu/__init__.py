@@ -37,25 +37,11 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: TPU compiles of the big fused graphs take
 # 15-130 s (remote-compile path); the cache cuts warm starts to seconds.
-# TPU-only: cached XLA:CPU AOT results can be reloaded with mismatched
-# machine-feature baselines (observed "+prefer-no-gather not supported"
-# warnings with a SIGILL caveat), so CPU runs always compile fresh.
-# Opt out with COLOC_TPU_NO_COMPILE_CACHE=1.
-import os as _os
+# ONE implementation (policy, TPU-only gate, opt-outs, default dir) lives
+# in coloc_tpu/compile_cache.py; entrypoints re-call enable() harmlessly.
+from coloc_tpu import compile_cache as _compile_cache
 
-if (
-    _os.environ.get("COLOC_TPU_NO_COMPILE_CACHE", "0") != "1"
-    and "axon" in _os.environ.get("JAX_PLATFORMS", "")
-):
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "coloc_tpu_xla"),
-    )
-    try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass  # older jax without the knobs
+_compile_cache.enable()
 
 from coloc_tpu.config import (  # noqa: F401
     ColocConfig,
