@@ -91,6 +91,10 @@ def main(argv=None):
                     metavar="PORT",
                     help="serve a live pose+map viewer (rosUtils/RViz analog)"
                          " on PORT (default 8765)")
+    ap.add_argument("--viz-config", default=None, metavar="JSON",
+                    help="viewer layout config (the coloc.rviz analog; "
+                         "defaults to coloc.view.json at the repo root — "
+                         "keys documented in io/liveviz.py)")
     ap.add_argument("--publish", default=None, metavar="HOST:PORT|PORT",
                     help="publish poses+map on the native TCP topic bus "
                          "(ROS pub/sub analog, io/transport.py); a bare "
@@ -155,7 +159,7 @@ def main(argv=None):
     if args.viz is not None:
         from coloc_tpu.io.liveviz import LiveViz
 
-        viz = live = LiveViz(port=args.viz)
+        viz = live = LiveViz(port=args.viz, view_config=args.viz_config)
         print(f"live viz: {live.url}")
 
     bus_broker = bus_node = None

@@ -14,18 +14,41 @@ HTTP streamer:
 
 The session pushes updates through `publish_pose` / `publish_map` (the
 publishMsgs analog); enable from the CLI with `--viz [PORT]`.
+
+View configuration (the coloc.rviz analog — the reference ships a saved
+RViz layout next to its sources): the operator view's layout knobs live in
+a JSON view config served at `/view.json` and applied by the page on load.
+`coloc.view.json` at the repo root is the default layout; pass a dict or a
+path via `LiveViz(view_config=...)` / `--viz-config PATH` to override.
+Recognized keys (all optional):
+  trail       int   pose-trail length per drone       (default 500)
+  point_size  int   landmark pixel size               (default 2)
+  views       list  any of "xz" (top-down), "xy" (side), "zy"
+                    (default ["xz", "xy"])
+  bounds      [lo_x, hi_x, lo_v, hi_v] fixed view bounds instead of
+              auto-fit (default null = auto-fit)
+  background  str   canvas CSS color                  (default "#181818")
 """
 
 from __future__ import annotations
 
 import json
 import threading
+import warnings
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 
 from coloc_tpu.io import decimate_map_points
+
+_DEFAULT_VIEW = {
+    "trail": 500,
+    "point_size": 2,
+    "views": ["xz", "xy"],
+    "bounds": None,
+    "background": "#181818",
+}
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>coloc_tpu live</title><style>
@@ -39,6 +62,12 @@ canvas{display:block;margin:0 auto;background:#181818}
 <script>
 const colors=['#6cf','#fc6','#6f9','#f6a','#c6f','#ff6'];
 let trails={};
+// view config (coloc.rviz analog): fetched once, defaults if unavailable
+let VIEW={trail:500,point_size:2,views:['xz','xy'],bounds:null,background:'#181818'};
+const SEL={xz:(p)=>[p[0],p[2]], xy:(p)=>[p[0],p[1]], zy:(p)=>[p[2],p[1]]};
+fetch('view.json').then(r=>r.json()).then(v=>{Object.assign(VIEW,v);
+  document.getElementById('cv').style.background=VIEW.background;
+  document.getElementById('cv').width=600*VIEW.views.length;}).catch(()=>{});
 async function tick(){
   let st;
   try{ st=await (await fetch('state.json')).json(); }catch(e){ return; }
@@ -46,8 +75,8 @@ async function tick(){
   g.clearRect(0,0,cv.width,cv.height);
   const pts=st.map||[], poses=st.poses||{};
   for(const d in poses){ (trails[d]=trails[d]||[]).push(poses[d].C);
-    if(trails[d].length>500) trails[d].shift(); }
-  // bounds over map + trails
+    if(trails[d].length>VIEW.trail) trails[d].shift(); }
+  // bounds over map + trails (or the view config's fixed bounds)
   let xs=[],ys=[],zs=[];
   for(const p of pts){xs.push(p[0]);ys.push(p[1]);zs.push(p[2]);}
   for(const d in trails) for(const c of trails[d]){xs.push(c[0]);ys.push(c[1]);zs.push(c[2]);}
@@ -55,12 +84,17 @@ async function tick(){
   const lo=a=>Math.min(...a), hi=a=>Math.max(...a);
   const mk=(w,h,x0,x1,y0,y1)=>{const s=0.9*Math.min(w/Math.max(x1-x0,1e-6),h/Math.max(y1-y0,1e-6));
     return (x,y)=>[ (x-(x0+x1)/2)*s+w/2, (y-(y0+y1)/2)*s+h/2 ];};
-  const pr1=mk(600,600,lo(xs),hi(xs),lo(zs),hi(zs));   // top-down X/Z
-  const pr2=mk(600,600,lo(xs),hi(xs),lo(ys),hi(ys));   // side X/Y
-  const views=[[pr1,0,(p)=>[p[0],p[2]]],[pr2,600,(p)=>[p[0],p[1]]]];
+  const axes={x:xs,y:ys,z:zs};
+  const views=VIEW.views.map((name,i)=>{
+    const [ha,va]=name.split('');
+    const pr=VIEW.bounds
+      ? mk(600,600,VIEW.bounds[0],VIEW.bounds[1],VIEW.bounds[2],VIEW.bounds[3])
+      : mk(600,600,lo(axes[ha]),hi(axes[ha]),lo(axes[va]),hi(axes[va]));
+    return [pr, 600*i, SEL[name]];
+  });
   for(const [pr,ox,sel] of views){
     g.fillStyle='#555';
-    for(const p of pts){const[a,b]=pr(...sel(p));g.fillRect(ox+a,b,2,2);}
+    for(const p of pts){const[a,b]=pr(...sel(p));g.fillRect(ox+a,b,VIEW.point_size,VIEW.point_size);}
     let di=0;
     for(const d in trails){ g.strokeStyle=colors[di%6]; g.beginPath();
       trails[d].forEach((c,i)=>{const[a,b]=pr(...sel(c)); i?g.lineTo(ox+a,b):g.moveTo(ox+a,b);});
@@ -85,12 +119,32 @@ class LiveViz:
     """Threaded HTTP pose/map streamer (ROSUtils analog)."""
 
     def __init__(self, port: int = 8765, host: str = "127.0.0.1",
-                 max_map_points: int = 4096):
+                 max_map_points: int = 4096,
+                 view_config: Union[str, dict, None] = None):
         self._lock = threading.Lock()
         self._poses = {}
         self._map = []
         self._frame = None
         self._max_map_points = max_map_points
+        self.view = dict(_DEFAULT_VIEW)
+        if view_config is None:
+            # repo-default layout file, if present (coloc.rviz analog)
+            import os as _os
+
+            default_path = _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                    _os.path.abspath(__file__)))), "coloc.view.json")
+            if _os.path.exists(default_path):
+                view_config = default_path
+        if isinstance(view_config, str):
+            try:
+                with open(view_config) as fh:
+                    self.view.update(json.load(fh))
+            except (OSError, ValueError) as e:
+                warnings.warn(f"view config {view_config!r} ignored ({e}); "
+                              "using defaults", RuntimeWarning)
+        elif isinstance(view_config, dict):
+            self.view.update(view_config)
         viz = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -100,6 +154,9 @@ class LiveViz:
                     ctype = "text/html"
                 elif self.path == "/state.json":
                     body = viz._state_json().encode()
+                    ctype = "application/json"
+                elif self.path == "/view.json":
+                    body = json.dumps(viz.view).encode()
                     ctype = "application/json"
                 else:
                     self.send_response(404)

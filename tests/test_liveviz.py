@@ -38,6 +38,50 @@ class TestLiveViz:
         finally:
             viz.close()
 
+    def test_view_config_served_and_overridable(self, tmp_path):
+        """The coloc.rviz analog: the repo-default coloc.view.json is
+        picked up automatically, /view.json serves the layout, and dict /
+        file / invalid-file configurations behave as documented."""
+        # default: repo-root coloc.view.json
+        viz = LiveViz(port=0)
+        try:
+            view = json.loads(_get(viz.url + "view.json"))
+            assert view["views"] == ["xz", "xy"]
+            assert view["trail"] == 500
+            assert "view.json" in _get(viz.url)  # page fetches the config
+        finally:
+            viz.close()
+
+        # dict override
+        viz = LiveViz(port=0, view_config={"trail": 100, "views": ["zy"]})
+        try:
+            view = json.loads(_get(viz.url + "view.json"))
+            assert view["trail"] == 100 and view["views"] == ["zy"]
+            assert view["point_size"] == 2  # unset keys keep defaults
+        finally:
+            viz.close()
+
+        # file override
+        p = tmp_path / "v.json"
+        p.write_text(json.dumps({"bounds": [-2, 2, -1, 1]}))
+        viz = LiveViz(port=0, view_config=str(p))
+        try:
+            view = json.loads(_get(viz.url + "view.json"))
+            assert view["bounds"] == [-2, 2, -1, 1]
+        finally:
+            viz.close()
+
+        # invalid file: warn + defaults, never crash the operator view
+        import pytest
+
+        with pytest.warns(RuntimeWarning, match="view config"):
+            viz = LiveViz(port=0, view_config=str(tmp_path / "missing.json"))
+        try:
+            view = json.loads(_get(viz.url + "view.json"))
+            assert view["trail"] == 500
+        finally:
+            viz.close()
+
     def test_map_downsampling(self):
         viz = LiveViz(port=0, max_map_points=100)
         try:
